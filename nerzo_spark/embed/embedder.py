@@ -1,0 +1,159 @@
+"""Deterministic feature-hashing span embedder — the sandbox stand-in for the
+reference's LLM hidden-state embeddings (SURVEY.md §2.8 U1-U4, §7.0).
+
+The reference computes, per mention, hidden-state vectors at the token just
+*before* the span (``start = h[start_tok - 1]``) and at the span's last token
+(``end = h[end_tok]``) — /root/reference/clearml_pipelines/fewnerd_pipeline/
+step_process_to_document.py:57-70 — and derives representations ``diff`` /
+``end`` / ``start_end_pair`` (/root/reference/contrastive/fewnerd_processor.py:108-117).
+
+This module preserves that *structure* with a deterministic, GPU-free
+featurizer:
+
+- ``emb_start``  — features of the LEFT context only (the ``h[start-1]`` analog:
+  what precedes the mention);
+- ``emb_end``    — features of the surface + right context (the ``h[end]`` analog);
+- ``emb``        — the ``start_end_pair`` representation (concat), used for
+  zero-shot linking.
+
+Every feature is hashed with md5 (stable across processes, machines, Python
+hash randomization) into a fixed-dim signed bucket — i.e. the classic hashing
+trick.  Executed as ONE Arrow-batched pandas UDF over mention rows: no
+per-row Python at the DataFrame level, numpy accumulation per batch.  On a
+real cluster this UDF is where a GPU model would sit (process-global model,
+batch = Arrow batch), exactly like the reference's batched forward
+(llm_interface.py:121-122).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, FloatType, StructField, StructType
+
+DIM = 128  # per-side dim; pair repr is 2*DIM
+
+_feat_cache: dict[str, tuple[int, float]] = {}
+
+
+def _feat(f: str) -> tuple[int, float]:
+    """feature string -> (bucket index, sign) via md5 (process-stable)."""
+    hit = _feat_cache.get(f)
+    if hit is None:
+        h = int.from_bytes(hashlib.md5(f.encode("utf-8")).digest()[:8], "big")
+        hit = (h % DIM, 1.0 if (h >> 61) & 1 else -1.0)
+        if len(_feat_cache) < 1_000_000:
+            _feat_cache[f] = hit
+    return hit
+
+
+def _shape(s: str) -> str:
+    """Word shape: letter-case/digit classes with runs collapsed
+    ('parse_config' -> 'a_a', 'v1.2.3' -> 'a0.0.0')."""
+    out: list[str] = []
+    for ch in s:
+        if ch.islower():
+            c = "a"
+        elif ch.isupper():
+            c = "A"
+        elif ch.isdigit():
+            c = "0"
+        else:
+            c = ch
+        if not out or out[-1] != c:
+            out.append(c)
+    return "".join(out)
+
+
+def _ngrams(s: str, n: int = 3) -> list[str]:
+    s = f"^{s}$"
+    if len(s) <= n:
+        return [s]
+    return [s[i : i + n] for i in range(len(s) - n + 1)]
+
+
+def surface_features(surface: str, right_ctx: str) -> list[tuple[str, float]]:
+    """Features for the ``end`` vector (surface + what follows it)."""
+    sh = _shape(surface)
+    feats: list[tuple[str, float]] = []
+    feats += [(f"g3:{g}", 1.0) for g in _ngrams(surface.lower())]
+    feats.append((f"sh:{sh}", 4.0))
+    feats += [(f"shg:{g}", 2.0) for g in _ngrams(sh)]
+    feats += [(f"pn:{c}", 3.0) for c in sorted({c for c in surface if not c.isalnum()})]
+    feats.append((f"rc:{_shape(right_ctx[:3])}", 2.0))
+    feats.append((f"len:{min(len(surface) // 4, 8)}", 1.0))
+    return feats
+
+
+def left_features(left_ctx: str) -> list[tuple[str, float]]:
+    """Features for the ``start`` vector (the h[start-1] analog)."""
+    feats: list[tuple[str, float]] = []
+    words = left_ctx.strip().lower().split()
+    if words:
+        feats.append((f"lw:{words[-1][-12:]}", 4.0))  # cue word: def/class/import/...
+    if len(words) >= 2:
+        feats.append((f"lw2:{words[-2][-12:]}", 2.0))
+    tail = left_ctx[-6:]
+    feats.append((f"lsh:{_shape(tail)}", 2.0))
+    feats += [(f"lg3:{g}", 1.0) for g in _ngrams(tail.lower())]
+    if not left_ctx:
+        feats.append(("l:SOS", 3.0))  # SOS analog of llm_interface.py:21
+    return feats
+
+
+def _accumulate(feats: list[tuple[str, float]]) -> np.ndarray:
+    v = np.zeros(DIM, dtype=np.float64)
+    for f, w in feats:
+        idx, sign = _feat(f)
+        v[idx] += sign * w
+    n = np.linalg.norm(v)
+    return (v / n if n > 0 else v).astype(np.float32)
+
+
+def embed_span(surface: str, left_ctx: str, right_ctx: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Single-span embedding (driver-side use: anchors, label centroids)."""
+    start = _accumulate(left_features(left_ctx or ""))
+    end = _accumulate(surface_features(surface or "", right_ctx or ""))
+    pair = np.concatenate([start, end])
+    n = np.linalg.norm(pair)
+    return start, end, (pair / n if n > 0 else pair).astype(np.float32)
+
+
+_EMB_SCHEMA = StructType(
+    [
+        StructField("emb_start", ArrayType(FloatType())),
+        StructField("emb_end", ArrayType(FloatType())),
+        StructField("emb", ArrayType(FloatType())),
+    ]
+)
+
+
+def embed_mentions(
+    df: DataFrame,
+    surface_col: str = "surface",
+    left_col: str = "left_ctx",
+    right_col: str = "right_ctx",
+) -> DataFrame:
+    """Append emb_start / emb_end / emb columns via one Arrow-batched UDF.
+
+    Scale: this is the only stage with nontrivial Python compute; batch size
+    is bounded by spark.sql.execution.arrow.maxRecordsPerBatch and the stage
+    parallelizes per partition — the GPU-model slot in production.
+    """
+
+    @F.pandas_udf(_EMB_SCHEMA)
+    def _embed(surface: pd.Series, left: pd.Series, right: pd.Series) -> pd.DataFrame:
+        starts, ends, pairs = [], [], []
+        for s, l, r in zip(surface.fillna(""), left.fillna(""), right.fillna("")):
+            a, b, c = embed_span(s, l, r)
+            starts.append(a)
+            ends.append(b)
+            pairs.append(c)
+        return pd.DataFrame({"emb_start": starts, "emb_end": ends, "emb": pairs})
+
+    packed = _embed(F.col(surface_col), F.col(left_col), F.col(right_col))
+    return df.withColumn("_e", packed).select("*", "_e.emb_start", "_e.emb_end", "_e.emb").drop("_e")

@@ -1,0 +1,168 @@
+"""End-to-end KG-construction pipeline (north star).
+
+corpus(repo, path, commit, lang, content, content_sha256)
+  -> detect mentions (mapInPandas, content dies here)
+  -> embed mentions (Arrow-batched hashing embedder; GPU slot in prod)
+  -> link to broadcast label catalog (cosine top-1 GEMM)
+  -> canonicalize surface forms (iterative min-label propagation)
+  -> triples (subj, pred, obj, provenance)
+plus per-partition lineage rows (rows in/out, sha256-invariant check, wall ms).
+
+Predicates (SURVEY.md §7.0): (entity typed_as label), (fine subtype_of coarse),
+(mention links_to entity), (entity defined_in repo/path@commit).
+
+Scale notes
+-----------
+- ``repartition(N, repo, path)`` before detection: one mega-repo holds ~30%
+  of fixture rows (FIXTURES.md §1); hashing on (repo, path) — not repo —
+  spreads it.  AQE skew-join + coalescing enabled in session.py.
+- label catalog is driver-side tiny (8 rows here; thousands in prod) and is
+  broadcast into the scoring UDF as a dense matrix — never shuffled.
+- canonicalization iterates over DISTINCT (fine_type, surface), orders of
+  magnitude smaller than mentions.
+- triples are built from mention-sized tables with one final dropDuplicates
+  per predicate family (hash aggregate, spillable).
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from dataclasses import dataclass
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from nerzo_spark.embed.embedder import embed_mentions, embed_span
+from nerzo_spark.fixtures.labels import label_rows
+from nerzo_spark.operators.canonicalize import canonicalize_surfaces
+from nerzo_spark.operators.spans import detect_mentions
+from nerzo_spark.operators.topk import link_topk
+
+TRIPLE_SCHEMA = "subj string, pred string, obj string, repo string, path string, commit string"
+
+
+@dataclass
+class KGResult:
+    mentions: DataFrame
+    links: DataFrame
+    entities: DataFrame
+    triples: DataFrame
+    lineage: DataFrame
+    label_catalog: list[dict]
+
+
+def build_label_catalog(
+    mentions_embedded: DataFrame, anchors: DataFrame
+) -> list[dict]:
+    """Label embeddings = centroid of the pinned anchor mentions' embeddings
+    (anchor scheme of /root/reference/contrastive/fewnerd_processor.py:155-199;
+    identity-embedding trick of step_generate_ne_embedding.py:144-147).
+
+    Anchor set is tiny (per-type fixed count) -> collect to driver, centroid
+    in numpy, ship back as the broadcast catalog.
+    """
+    rows = (
+        mentions_embedded.join(F.broadcast(anchors), "mention_id")
+        .select("fine_type", "emb")
+        .collect()
+    )
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["fine_type"], []).append(np.asarray(r["emb"], dtype=np.float64))
+    catalog = []
+    for lr in label_rows():
+        vecs = by_type.get(lr["fine_type"])
+        if not vecs:
+            continue
+        c = np.mean(vecs, axis=0)
+        n = np.linalg.norm(c)
+        catalog.append({**lr, "emb": (c / n if n > 0 else c)})
+    return catalog
+
+
+def run_kg_pipeline(
+    spark: SparkSession,
+    corpus: DataFrame,
+    anchors: DataFrame,
+    repartition_to: int | None = None,
+    run_id: str | None = None,
+) -> KGResult:
+    run_id = run_id or uuid.uuid4().hex
+    t0 = time.time()
+
+    mentions = detect_mentions(corpus, repartition_to=repartition_to)
+    membed = embed_mentions(mentions)
+    # mentions feed two consumers (linking + lineage + provenance join):
+    # cache the mention-sized table, not the corpus.
+    membed = membed.localCheckpoint()
+
+    catalog = build_label_catalog(membed, anchors)
+    links = link_topk(membed, catalog, k=1).filter(F.col("rank") == 1)
+
+    typed = links.join(
+        membed.select("mention_id", "repo", "path", "commit", "surface", "sha_ok"),
+        "mention_id",
+    ).localCheckpoint()
+
+    entities = canonicalize_surfaces(typed.select("fine_type", "surface"))
+
+    typed_e = typed.join(F.broadcast(entities), ["fine_type", "surface"])
+
+    prov = F.concat_ws("", F.col("repo"), F.lit("/"), F.col("path"), F.lit("@"), F.col("commit"))
+    t_links = typed_e.select(
+        F.col("mention_id").alias("subj"), F.lit("links_to").alias("pred"),
+        F.col("entity_id").alias("obj"), "repo", "path", "commit",
+    )
+    t_typed = typed_e.select(
+        F.col("entity_id").alias("subj"), F.lit("typed_as").alias("pred"),
+        F.col("label_id").alias("obj"),
+        F.lit(None).cast("string").alias("repo"),
+        F.lit(None).cast("string").alias("path"),
+        F.lit(None).cast("string").alias("commit"),
+    ).dropDuplicates(["subj", "obj"])
+    t_defined = typed_e.select(
+        F.col("entity_id").alias("subj"), F.lit("defined_in").alias("pred"),
+        prov.alias("obj"), "repo", "path", "commit",
+    ).dropDuplicates(["subj", "obj"])
+    t_subtype = typed_e.select(
+        F.col("fine_type").alias("subj"), F.lit("subtype_of").alias("pred"),
+        F.col("coarse_type").alias("obj"),
+        F.lit(None).cast("string").alias("repo"),
+        F.lit(None).cast("string").alias("path"),
+        F.lit(None).cast("string").alias("commit"),
+    ).dropDuplicates(["subj", "obj"])
+
+    triples = t_links.unionByName(t_typed).unionByName(t_defined).unionByName(t_subtype)
+
+    wall_ms = (time.time() - t0) * 1000.0
+    lineage = (
+        membed.groupBy("repo")
+        .agg(
+            F.count("*").alias("rows_out"),
+            F.min(F.col("sha_ok").cast("int")).cast("boolean").alias("sha_ok"),
+            F.countDistinct("path").alias("files"),
+        )
+        .withColumn("stage", F.lit("detect+embed"))
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("wall_ms", F.lit(wall_ms))
+    )
+
+    return KGResult(
+        mentions=membed,
+        links=links,
+        entities=entities,
+        triples=triples,
+        lineage=lineage,
+        label_catalog=catalog,
+    )
+
+
+def triples_from_corpus(
+    spark: SparkSession,
+    corpus: DataFrame,
+    anchors: DataFrame,
+    repartition_to: int | None = None,
+) -> DataFrame:
+    return run_kg_pipeline(spark, corpus, anchors, repartition_to=repartition_to).triples
