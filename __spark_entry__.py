@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)`` — flagship: full KG-construction pipeline (detect ->
+  embed -> link -> canonicalize -> triples) over the deterministic fixture
+  corpus UNIONed with a corpus derived from the sf0.001 ``documents`` table.
+- ``queries()`` / ``oracle_sql()`` — operator inventory from SURVEY.md §2,
+  each Spark implementation paired with a DuckDB oracle (see
+  nerzo_spark/plans/catalog*.py).  KG-pipeline entries are non-SQL-
+  expressible (iterative CC, pandas-UDF embedder) and ship without oracles.
 """
 
 from __future__ import annotations
@@ -12,27 +14,46 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# importing registers every catalog entry
+from nerzo_spark.plans import catalog as _catalog
+from nerzo_spark.plans import catalog_kg as _catalog_kg  # noqa: F401
+from nerzo_spark.plans import catalog_text as _catalog_text  # noqa: F401
+from nerzo_spark.plans import catalog_vec as _catalog_vec  # noqa: F401
+
+SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from nerzo_spark.fixtures.corpus import generate
+    from nerzo_spark.fixtures.spark_io import anchors_df, corpus_df
+    from nerzo_spark.pipeline.kg import run_kg_pipeline
+
+    fx = generate(n_files=120)
+    planted = corpus_df(spark, fx)
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    derived = docs.select(
+        F.concat(F.lit("docsrc/"), F.col("source")).alias("repo"),
+        F.concat(F.lit("docs/"), F.col("doc_id").cast("string"), F.lit(".txt")).alias("path"),
+        F.sha1(F.col("text")).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+        F.sha2(F.col("text"), 256).alias("content_sha256"),
+    )
+
+    corpus = planted.unionByName(derived)
+    res = run_kg_pipeline(spark, corpus, anchors_df(spark, fx), repartition_to=8)
+    return res.triples
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return _catalog.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable oracle for each SQL-expressible query."""
+    return _catalog.oracle_sql()

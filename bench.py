@@ -1,0 +1,100 @@
+"""Benchmark harness — one JSON line with per-query wall times at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Headline queries: the KG-construction pipeline (the north-star metric,
+triples/sec) plus representative operators from each family (agg, window
+islands, cosine top-k, minhash LSH, recall@k).
+
+Scaling-efficiency protocol (BASELINE.md): run ``python bench.py --cores 8``
+and ``--cores 32`` on the same input; eff = (thr_32 / thr_8) / 4.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--kg-files", type=int, default=int(os.environ.get("NERZO_BENCH_KG_FILES", "3000")))
+    args = ap.parse_args()
+
+    from nerzo_spark.session import get_spark
+
+    spark = get_spark(
+        "nerzo-bench",
+        master=f"local[{args.cores}]",
+        shuffle_partitions=max(args.cores, 8),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from nerzo_spark.fixtures.corpus import generate
+    from nerzo_spark.fixtures.spark_io import anchors_df, corpus_df
+    from nerzo_spark.pipeline.kg import run_kg_pipeline
+    from nerzo_spark.plans import catalog
+    import nerzo_spark.plans.catalog_text  # noqa: F401
+    import nerzo_spark.plans.catalog_vec  # noqa: F401
+
+    sf_label = os.path.basename(args.sf_dir.rstrip("/")).replace("sf", "")
+    qs = catalog.queries()
+    times: dict[str, float] = {}
+
+    def timed(name: str, fn) -> float:
+        t0 = time.time()
+        fn()
+        dt = time.time() - t0
+        times[name] = round(dt, 3)
+        return dt
+
+    # KG pipeline (north star): triples/sec over the fixture corpus
+    fx = generate(n_files=args.kg_files)
+    corpus = corpus_df(spark, fx).localCheckpoint()  # materialize input first
+    anchors = anchors_df(spark, fx)
+    n_triples = {}
+
+    def run_kg():
+        res = run_kg_pipeline(spark, corpus, anchors, repartition_to=4 * args.cores)
+        n_triples["n"] = res.triples.count()
+
+    timed("kg_pipeline", run_kg)
+
+    headline = [
+        "a2_filter_agg_q1",
+        "a4_top_hits_per_bucket",
+        "w7_islands_run_merge",
+        "j5_lookup_join",
+        "j1_cosine_topk",
+        "dedup_minhash_lsh_pairs",
+        "dedup_simhash16",
+        "e1_recall_at_k",
+        "doc_fingerprint",
+    ]
+    for name in headline:
+        fn = qs[name]
+        timed(name, lambda f=fn: f(spark, args.sf_dir).count())
+
+    total = round(sum(times.values()), 3)
+    kg_thr = round(n_triples.get("n", 0) / times["kg_pipeline"], 1)
+    print(
+        json.dumps(
+            {
+                "metric": "total_bench_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf_label,
+                "cores": args.cores,
+                "kg_triples": n_triples.get("n", 0),
+                "kg_triples_per_sec": kg_thr,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
