@@ -137,23 +137,44 @@ def embed_mentions(
     surface_col: str = "surface",
     left_col: str = "left_ctx",
     right_col: str = "right_ctx",
+    include_reprs: bool = False,
 ) -> DataFrame:
-    """Append emb_start / emb_end / emb columns via one Arrow-batched UDF.
+    """Append the linking embedding ``emb`` (start_end_pair repr) via one
+    Arrow-batched UDF; ``include_reprs=True`` additionally emits
+    emb_start / emb_end (F12 reprs) at ~2x the Arrow transfer cost.
 
     Scale: this is the only stage with nontrivial Python compute; batch size
     is bounded by spark.sql.execution.arrow.maxRecordsPerBatch and the stage
-    parallelizes per partition — the GPU-model slot in production.
+    parallelizes per partition — the GPU-model slot in production.  Arrow
+    transfer of the vector column dominates the stage cost, which is why the
+    pipeline default ships ONE vector, not three.
     """
+    if include_reprs:
 
-    @F.pandas_udf(_EMB_SCHEMA)
-    def _embed(surface: pd.Series, left: pd.Series, right: pd.Series) -> pd.DataFrame:
-        starts, ends, pairs = [], [], []
-        for s, l, r in zip(surface.fillna(""), left.fillna(""), right.fillna("")):
-            a, b, c = embed_span(s, l, r)
-            starts.append(a)
-            ends.append(b)
-            pairs.append(c)
-        return pd.DataFrame({"emb_start": starts, "emb_end": ends, "emb": pairs})
+        @F.pandas_udf(_EMB_SCHEMA)
+        def _embed3(surface: pd.Series, left: pd.Series, right: pd.Series) -> pd.DataFrame:
+            starts, ends, pairs = [], [], []
+            for s, l, r in zip(surface.fillna(""), left.fillna(""), right.fillna("")):
+                a, b, c = embed_span(s, l, r)
+                starts.append(a)
+                ends.append(b)
+                pairs.append(c)
+            return pd.DataFrame({"emb_start": starts, "emb_end": ends, "emb": pairs})
 
-    packed = _embed(F.col(surface_col), F.col(left_col), F.col(right_col))
-    return df.withColumn("_e", packed).select("*", "_e.emb_start", "_e.emb_end", "_e.emb").drop("_e")
+        packed = _embed3(F.col(surface_col), F.col(left_col), F.col(right_col))
+        return (
+            df.withColumn("_e", packed)
+            .select("*", "_e.emb_start", "_e.emb_end", "_e.emb")
+            .drop("_e")
+        )
+
+    @F.pandas_udf(ArrayType(FloatType()))
+    def _embed(surface: pd.Series, left: pd.Series, right: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                embed_span(s, l, r)[2]
+                for s, l, r in zip(surface.fillna(""), left.fillna(""), right.fillna(""))
+            ]
+        )
+
+    return df.withColumn("emb", _embed(F.col(surface_col), F.col(left_col), F.col(right_col)))

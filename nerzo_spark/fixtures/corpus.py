@@ -1,27 +1,29 @@
 """Deterministic synthetic source-code corpus + gold fixtures (seed 42).
 
-Generates, in pure Python (no Spark dependency, so the gold path is an
-independent implementation from the pipeline):
+Per-file generation is a PURE function of (file index, n_files, seed) —
+``gen_file`` — so the corpus can be produced two ways with identical rows:
 
-- ``corpus`` rows  — (repo, path, commit, lang, content, content_sha256),
-  the exact input shape of BASELINE.json ``input_hint``; includes one
-  mega-repo holding ~30% of files to exercise skew salting (FIXTURES.md §1);
-- ``mentions_gold`` rows — planted entity spans with char offsets satisfying
-  the reference's core invariant ``content[start:end] == surface``
-  (step_process_to_document.py:110);
-- ``triples_gold`` rows — the (subj, pred, obj) targets (P/R >= 0.95 gate),
-  with canonicalization clusters computed by an independent union-find;
-- ``anchors`` — pinned per-type golden mentions, mirroring
-  /root/reference/contrastive/fewnerd_processor.py:155-199.
+- driver-side (``generate``) for tests: also builds gold mentions, gold
+  triples (independent union-find canonicalization) and pinned anchors;
+- distributed (``fixtures.distributed.corpus_df_distributed``): mapInPandas
+  over ``spark.range(n_files)`` — no driver bottleneck, benchable at 10^5+
+  files, the miniature of generating over an Iceberg snapshot.
 
-Surface-form variant chains (case / underscore-squash, >=3 hops) are planted
-so canonicalization requires *iterative* label propagation, per FIXTURES.md §4.
+Corpus shape is BASELINE.json ``input_hint``: (repo, path, commit, lang,
+content, content_sha256), with one mega-repo holding ~30% of files
+(FIXTURES.md §1, skew exerciser).  Planted spans satisfy the reference's
+invariant ``content[start:end] == surface`` (step_process_to_document.py:110).
+
+Surface-form variant chains (Snake_Case -k1- snake_case -k2- squashed -k1-
+CamelCase, >=3 hops) are planted across files so canonicalization requires
+iterative label propagation (FIXTURES.md §4).
 """
 
 from __future__ import annotations
 
 import hashlib
 import random
+import re
 from dataclasses import dataclass, field
 
 from nerzo_spark.fixtures.labels import FINE_TO_COARSE, label_id
@@ -43,6 +45,14 @@ NAME_WORDS = [
 DOMAINS = ["gmail", "corpdata", "sparkmail", "graphhub", "nerzo"]
 
 LANGS = ["python", "java", "go", "js", "md"]
+_EXT = {"python": "py", "java": "java", "go": "go", "js": "js", "md": "md"}
+
+MEGA_REPO_FRAC = 0.3
+N_VARIANT_CHAINS = 6
+
+# context-window sizes; must match operators/spans.py (LEFT_CTX/RIGHT_CTX)
+CTX_LEFT = 16
+CTX_RIGHT = 8
 
 
 def _sha1(s: str) -> str:
@@ -62,8 +72,6 @@ def mention_id(repo: str, path: str, commit: str, start: int, end: int, surface:
 
 def norm_key(surface: str) -> str:
     """Python twin of functions.text.normalize_surface (key #1)."""
-    import re
-
     x = surface.lower()
     x = re.sub(r"[`'\"]", "", x)
     x = re.sub(r"^[^a-z0-9]+|[^a-z0-9]+$", "", x)
@@ -73,8 +81,6 @@ def norm_key(surface: str) -> str:
 
 def squash(surface: str) -> str:
     """Python twin of functions.text.squash_key (key #2)."""
-    import re
-
     return re.sub(r"[_.\- ]", "", norm_key(surface))
 
 
@@ -101,31 +107,23 @@ def _gen_surface(rng: random.Random, fine: str) -> str:
     raise ValueError(fine)
 
 
-def _entity_line(rng: random.Random, fine: str, surface: str) -> tuple[str, int]:
-    """Render the line containing `surface`; return (line, offset-of-surface)."""
+def _entity_line(rng: random.Random, fine: str, surface: str) -> str:
     if fine == "function":
-        pre = "def "
-        return f"{pre}{surface}(ctx):", len(pre)
+        return f"def {surface}(ctx):"
     if fine == "class":
-        pre = "class "
-        return f"{pre}{surface}:", len(pre)
+        return f"class {surface}:"
     if fine == "constant":
-        return f"{surface} = {rng.randint(1, 999)}", 0
+        return f"{surface} = {rng.randint(1, 999)}"
     if fine == "import":
-        pre = "import "
-        return f"{pre}{surface}", len(pre)
+        return f"import {surface}"
     if fine == "email":
-        pre = "# contact "
-        return f"{pre}{surface} for access", len(pre)
+        return f"# contact {surface} for access"
     if fine == "http_url":
-        pre = "# see "
-        return f"{pre}{surface}", len(pre)
+        return f"# see {surface}"
     if fine == "ipv4":
-        pre = 'host = "'
-        return f'{pre}{surface}"', len(pre)
+        return f'host = "{surface}"'
     if fine == "semver":
-        pre = "# requires pkg "
-        return f"{pre}{surface}", len(pre)
+        return f"# requires pkg {surface}"
     raise ValueError(fine)
 
 
@@ -135,8 +133,6 @@ def _filler_line(rng: random.Random) -> str:
 
 
 def _variant_chain(base_a: str, base_b: str) -> list[str]:
-    """4 surface forms, >=3 hops through key#1/key#2 buckets:
-    Snake_Case -k1- snake_case -k2- squashed -k1- CamelCase."""
     snake = f"{base_a}_{base_b}"
     return [
         snake,
@@ -144,6 +140,99 @@ def _variant_chain(base_a: str, base_b: str) -> list[str]:
         f"{base_a}{base_b}",
         f"{base_a.capitalize()}{base_b.capitalize()}",
     ]
+
+
+def _chain_plants(n_files: int, seed: int) -> dict[int, list[str]]:
+    """Pure assignment of variant-chain surfaces to file indices."""
+    rng = random.Random(f"{seed}|chains")
+    out: dict[int, list[str]] = {}
+    used: set[tuple[str, str]] = set()
+    for c in range(N_VARIANT_CHAINS):
+        while True:
+            a, b = rng.choice(NAME_WORDS), rng.choice(NAME_WORDS)
+            if a != b and (a, b) not in used:
+                used.add((a, b))
+                break
+        for j, surface in enumerate(_variant_chain(a, b)):
+            idx = (c * 97 + j * 31 + seed) % n_files
+            out.setdefault(idx, []).append(surface)
+    return out
+
+
+def gen_file(i: int, n_files: int, seed: int = SEED,
+             chain_plants: dict[int, list[str]] | None = None
+             ) -> tuple[dict, list[dict]]:
+    """Pure per-file generator -> (corpus_row, gold_mention_rows)."""
+    if chain_plants is None:
+        chain_plants = _chain_plants(n_files, seed)
+    rng = random.Random(f"{seed}|file|{i}")
+    fine_types = list(FINE_TO_COARSE.keys())
+
+    n_mega = int(n_files * MEGA_REPO_FRAC)
+    repo = "org0/megarepo" if i < n_mega else f"org{i % 7}/repo{i % 23}"
+    lang = LANGS[i % len(LANGS)]
+    path = f"src/m{i % 13}/file{i}.{_EXT[lang]}"
+    commit = _sha1(f"{repo}|{path}")
+
+    lines: list[str] = []
+    planted: list[tuple[int, str, str]] = []
+    for _ in range(rng.randint(1, 3)):
+        lines.append(_filler_line(rng))
+    extra = list(chain_plants.get(i, []))
+    n_ent = rng.randint(2, 6) + len(extra)
+    for _ in range(n_ent):
+        if extra:
+            surface = extra.pop()
+            fine = "function"
+        else:
+            fine = rng.choice(fine_types)
+            surface = _gen_surface(rng, fine)
+        line = _entity_line(rng, fine, surface)
+        planted.append((len(lines), fine, surface))
+        lines.append(line)
+        for _ in range(rng.randint(1, 3)):
+            lines.append(_filler_line(rng))
+
+    content = "\n".join(lines)
+    corpus_row = {
+        "repo": repo,
+        "path": path,
+        "commit": commit,
+        "lang": lang,
+        "content": content,
+        "content_sha256": sha256_hex(content),
+    }
+
+    line_starts: list[int] = []
+    pos = 0
+    for ln in lines:
+        line_starts.append(pos)
+        pos += len(ln) + 1
+    text_id = _sha1(content)
+    mentions: list[dict] = []
+    for line_idx, fine, surface in planted:
+        start_in_line = lines[line_idx].find(surface)
+        assert start_in_line >= 0
+        start = line_starts[line_idx] + start_in_line
+        end = start + len(surface)
+        assert content[start:end] == surface  # reference invariant :110
+        mentions.append(
+            {
+                "mention_id": mention_id(repo, path, commit, start, end, surface),
+                "repo": repo,
+                "path": path,
+                "commit": commit,
+                "span_start": start,
+                "span_end": end,
+                "surface": surface,
+                "left_ctx": content[max(0, start - CTX_LEFT):start],
+                "right_ctx": content[end:end + CTX_RIGHT],
+                "coarse_type": FINE_TO_COARSE[fine],
+                "fine_type": fine,
+                "text_id": text_id,
+            }
+        )
+    return corpus_row, mentions
 
 
 @dataclass
@@ -154,95 +243,16 @@ class Fixture:
     anchors: list[dict] = field(default_factory=list)
 
 
-def generate(n_files: int = 120, seed: int = SEED, mega_repo_frac: float = 0.3,
-             n_variant_chains: int = 6) -> Fixture:
-    rng = random.Random(seed)
+def generate(n_files: int = 120, seed: int = SEED) -> Fixture:
+    """Driver-side generation incl. gold triples + anchors (test scale)."""
     fx = Fixture()
-    fine_types = list(FINE_TO_COARSE.keys())
-
-    # pre-plan variant-chain plantings: (surface, fine) spread over files
-    chain_plants: list[str] = []
-    used = set()
-    for _ in range(n_variant_chains):
-        while True:
-            a, b = rng.choice(NAME_WORDS), rng.choice(NAME_WORDS)
-            if a != b and (a, b) not in used:
-                used.add((a, b))
-                break
-        chain_plants.extend(_variant_chain(a, b))
-
-    plant_queue = list(chain_plants)
-    rng.shuffle(plant_queue)
-
-    n_mega = int(n_files * mega_repo_frac)
+    plants = _chain_plants(n_files, seed)
     for i in range(n_files):
-        if i < n_mega:
-            repo = "org0/megarepo"  # skew: ~30% of files in one repo
-        else:
-            repo = f"org{i % 7}/repo{i % 23}"
-        lang = LANGS[i % len(LANGS)]
-        path = f"src/m{i % 13}/file{i}.{ {'python':'py','java':'java','go':'go','js':'js','md':'md'}[lang] }"
-        commit = _sha1(f"{repo}|{path}")  # 40-hex, deterministic from (repo, path)
-
-        lines: list[str] = []
-        planted: list[tuple[int, str, str]] = []  # (line_idx, fine, surface)
-        n_ent = rng.randint(2, 6)
-        for _ in range(rng.randint(1, 3)):
-            lines.append(_filler_line(rng))
-        for _ in range(n_ent):
-            if plant_queue and rng.random() < 0.25:
-                surface = plant_queue.pop()
-                fine = "function"
-            else:
-                fine = rng.choice(fine_types)
-                surface = _gen_surface(rng, fine)
-            line, off = _entity_line(rng, fine, surface)
-            planted.append((len(lines), fine, surface))
-            lines.append(line)
-            for _ in range(rng.randint(1, 3)):
-                lines.append(_filler_line(rng))
-
-        content = "\n".join(lines)
-        fx.corpus.append(
-            {
-                "repo": repo,
-                "path": path,
-                "commit": commit,
-                "lang": lang,
-                "content": content,
-                "content_sha256": sha256_hex(content),
-            }
-        )
-
-        # gold mentions with exact char offsets
-        line_starts = []
-        pos = 0
-        for ln in lines:
-            line_starts.append(pos)
-            pos += len(ln) + 1
-        for line_idx, fine, surface in planted:
-            start_in_line = lines[line_idx].find(surface)
-            assert start_in_line >= 0
-            start = line_starts[line_idx] + start_in_line
-            end = start + len(surface)
-            assert content[start:end] == surface  # reference invariant :110
-            fx.mentions.append(
-                {
-                    "mention_id": mention_id(repo, path, commit, start, end, surface),
-                    "repo": repo,
-                    "path": path,
-                    "commit": commit,
-                    "span_start": start,
-                    "span_end": end,
-                    "surface": surface,
-                    "coarse_type": FINE_TO_COARSE[fine],
-                    "fine_type": fine,
-                    "text_id": _sha1(content),
-                }
-            )
-
+        corpus_row, mentions = gen_file(i, n_files, seed, plants)
+        fx.corpus.append(corpus_row)
+        fx.mentions.extend(mentions)
     _build_gold_triples(fx)
-    _build_anchors(fx, rng)
+    _build_anchors(fx)
     return fx
 
 
@@ -264,21 +274,19 @@ def _build_gold_triples(fx: Fixture) -> None:
 
     buckets: dict[tuple[str, str], list[tuple[str, str]]] = {}
     for ft, s in pairs:
-        for key in (("k1", norm_key(s)), ("k2", squash(s))):
-            buckets.setdefault((ft, key[0] + ":" + key[1]), []).append((ft, s))
+        for kname, key in (("k1", norm_key(s)), ("k2", squash(s))):
+            buckets.setdefault((ft, f"{kname}:{key}"), []).append((ft, s))
     for members in buckets.values():
         for other in members[1:]:
             union(members[0], other)
 
-    canonical: dict[tuple[str, str], str] = {}
     cluster_min: dict[tuple[str, str], str] = {}
     for p in pairs:
         r = find(p)
         k1 = norm_key(p[1])
         if r not in cluster_min or k1 < cluster_min[r]:
             cluster_min[r] = k1
-    for p in pairs:
-        canonical[p] = cluster_min[find(p)]
+    canonical = {p: cluster_min[find(p)] for p in pairs}
 
     def ent_id(fine: str, canon: str) -> str:
         return "ent_" + _sha1(f"{fine}|{canon}")
@@ -295,27 +303,52 @@ def _build_gold_triples(fx: Fixture) -> None:
         triples.add((eid, "defined_in", prov, m["repo"], m["path"], m["commit"]))
         triples.add((fine, "subtype_of", coarse, None, None, None))
     fx.triples = [
-        dict(zip(["subj", "pred", "obj", "repo", "path", "commit"], t)) for t in sorted(
-            triples, key=lambda t: (t[0], t[1], t[2])
-        )
+        dict(zip(["subj", "pred", "obj", "repo", "path", "commit"], t))
+        for t in sorted(triples, key=lambda t: (t[0], t[1], t[2]))
     ]
 
 
-def _build_anchors(fx: Fixture, rng: random.Random, per_type: int = 8) -> None:
-    """Pinned golden mentions per fine type (fewnerd_processor.py:155-199 analog).
-    Deterministic: the `per_type` smallest mention_ids of each type."""
+def anchor_rows_for(
+    n_files: int, seed: int = SEED, scan_files: int = 1000, per_type: int = 8
+) -> list[dict]:
+    """Anchor fixture for a corpus of `n_files` WITHOUT generating it all:
+    scan only the first `scan_files` files (mention ids depend on n_files,
+    so gen_file must be called with the real n_files).  Anchors are pinned
+    golden mentions — any deterministic per-type subset qualifies."""
+    plants = _chain_plants(n_files, seed)
+    fx = Fixture()
+    for i in range(min(scan_files, n_files)):
+        _, ms = gen_file(i, n_files, seed, plants)
+        fx.mentions.extend(ms)
+    _build_anchors(fx, per_type=per_type)
+    return fx.anchors
+
+
+def _build_anchors(fx: Fixture, per_type: int = 8) -> None:
+    """Pinned golden mentions per fine type (fewnerd_processor.py:155-199
+    analog): the `per_type` smallest mention_ids with distinct surfaces.
+    Anchors carry (surface, contexts) so the label catalog can be built
+    driver-side without scanning the corpus (the reference's get-by-id
+    point lookup, dataset_provider.py:175-177)."""
     by_type: dict[str, list[dict]] = {}
     for m in fx.mentions:
         by_type.setdefault(m["fine_type"], []).append(m)
     for fine, ms in sorted(by_type.items()):
-        ms_sorted = sorted(ms, key=lambda m: m["mention_id"])
-        seen_surfaces = set()
+        seen: set[str] = set()
         picked = []
-        for m in ms_sorted:
-            if m["surface"] not in seen_surfaces:
+        for m in sorted(ms, key=lambda m: m["mention_id"]):
+            if m["surface"] not in seen:
                 picked.append(m)
-                seen_surfaces.add(m["surface"])
+                seen.add(m["surface"])
             if len(picked) >= per_type:
                 break
         for m in picked:
-            fx.anchors.append({"fine_type": fine, "mention_id": m["mention_id"]})
+            fx.anchors.append(
+                {
+                    "fine_type": fine,
+                    "mention_id": m["mention_id"],
+                    "surface": m["surface"],
+                    "left_ctx": m["left_ctx"],
+                    "right_ctx": m["right_ctx"],
+                }
+            )

@@ -10,7 +10,10 @@ CORPUS_SCHEMA = (
     "repo string, path string, commit string, lang string, "
     "content string, content_sha256 string"
 )
-ANCHORS_SCHEMA = "fine_type string, mention_id string"
+ANCHORS_SCHEMA = (
+    "fine_type string, mention_id string, surface string, "
+    "left_ctx string, right_ctx string"
+)
 GOLD_TRIPLE_SCHEMA = (
     "subj string, pred string, obj string, repo string, path string, commit string"
 )

@@ -34,11 +34,10 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nerzo_spark.embed.embedder import embed_mentions, embed_span
+from nerzo_spark.embed.embedder import embed_span
 from nerzo_spark.fixtures.labels import label_rows
 from nerzo_spark.operators.canonicalize import canonicalize_surfaces
-from nerzo_spark.operators.spans import detect_mentions
-from nerzo_spark.operators.topk import link_topk
+from nerzo_spark.operators.extract_link import extract_and_link
 
 TRIPLE_SCHEMA = "subj string, pred string, obj string, repo string, path string, commit string"
 
@@ -53,24 +52,20 @@ class KGResult:
     label_catalog: list[dict]
 
 
-def build_label_catalog(
-    mentions_embedded: DataFrame, anchors: DataFrame
-) -> list[dict]:
+def build_label_catalog(anchor_rows: list[dict]) -> list[dict]:
     """Label embeddings = centroid of the pinned anchor mentions' embeddings
     (anchor scheme of /root/reference/contrastive/fewnerd_processor.py:155-199;
     identity-embedding trick of step_generate_ne_embedding.py:144-147).
 
-    Anchor set is tiny (per-type fixed count) -> collect to driver, centroid
-    in numpy, ship back as the broadcast catalog.
+    Anchors are a dimension-sized fixture carrying (surface, contexts), so
+    the catalog is built entirely driver-side (the reference's get-by-id
+    point lookup, dataset_provider.py:175-177) — zero cluster jobs; the
+    result is broadcast into the scoring UDF as a dense matrix.
     """
-    rows = (
-        mentions_embedded.join(F.broadcast(anchors), "mention_id")
-        .select("fine_type", "emb")
-        .collect()
-    )
     by_type: dict[str, list] = {}
-    for r in rows:
-        by_type.setdefault(r["fine_type"], []).append(np.asarray(r["emb"], dtype=np.float64))
+    for a in anchor_rows:
+        vec = embed_span(a["surface"], a.get("left_ctx", ""), a.get("right_ctx", ""))[2]
+        by_type.setdefault(a["fine_type"], []).append(np.asarray(vec, dtype=np.float64))
     catalog = []
     for lr in label_rows():
         vecs = by_type.get(lr["fine_type"])
@@ -85,25 +80,26 @@ def build_label_catalog(
 def run_kg_pipeline(
     spark: SparkSession,
     corpus: DataFrame,
-    anchors: DataFrame,
+    anchors: DataFrame | list[dict],
     repartition_to: int | None = None,
     run_id: str | None = None,
 ) -> KGResult:
     run_id = run_id or uuid.uuid4().hex
     t0 = time.time()
 
-    mentions = detect_mentions(corpus, repartition_to=repartition_to)
-    membed = embed_mentions(mentions)
-    # mentions feed two consumers (linking + lineage + provenance join):
-    # cache the mention-sized table, not the corpus.
-    membed = membed.localCheckpoint()
+    # label catalog first: driver-side, from the anchor fixture (tiny);
+    # accepts either plain rows or a (dimension-sized) DataFrame
+    if isinstance(anchors, DataFrame):
+        anchor_rows = [r.asDict() for r in anchors.collect()]
+    else:
+        anchor_rows = anchors
+    catalog = build_label_catalog(anchor_rows)
 
-    catalog = build_label_catalog(membed, anchors)
-    links = link_topk(membed, catalog, k=1).filter(F.col("rank") == 1)
-
-    typed = links.join(
-        membed.select("mention_id", "repo", "path", "commit", "surface", "sha_ok"),
-        "mention_id",
+    # ONE fused Python pass: detect -> embed -> link (vectors never cross
+    # Arrow; see operators/extract_link.py).  The result is the mentions
+    # table AND the links table in one — no mention-scale join at all.
+    typed = extract_and_link(
+        corpus, catalog, repartition_to=repartition_to
     ).localCheckpoint()
 
     entities = canonicalize_surfaces(typed.select("fine_type", "surface"))
@@ -138,19 +134,20 @@ def run_kg_pipeline(
 
     wall_ms = (time.time() - t0) * 1000.0
     lineage = (
-        membed.groupBy("repo")
+        typed.groupBy("repo")
         .agg(
             F.count("*").alias("rows_out"),
             F.min(F.col("sha_ok").cast("int")).cast("boolean").alias("sha_ok"),
             F.countDistinct("path").alias("files"),
         )
-        .withColumn("stage", F.lit("detect+embed"))
+        .withColumn("stage", F.lit("extract+link"))
         .withColumn("run_id", F.lit(run_id))
         .withColumn("wall_ms", F.lit(wall_ms))
     )
 
+    links = typed.select("mention_id", "label_id", "coarse_type", "fine_type", "score")
     return KGResult(
-        mentions=membed,
+        mentions=typed,
         links=links,
         entities=entities,
         triples=triples,

@@ -255,6 +255,24 @@ def _mh_duck(j: int) -> str:
     return f"list_aggregate(list_transform({_SHINGLE_DUCK}, s -> md5('{j}|' || s)), 'min')"
 
 
+def _shingles_exploded(spark, sf_dir):
+    """(doc_id, s) distinct word-3-gram shingles — the shared base table for
+    the whole minhash family.  min over distinct == min over all, so one
+    distinct explode feeds signatures, bands and Jaccard verification."""
+    d = T(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.explode(F.array_distinct(F.expr(_SHINGLE_SPARK))).alias("s")
+    )
+
+
+def _signatures(sh):
+    """One-pass hash-aggregate: 4 minhashes per doc from the exploded
+    shingle table (map-side partial min -> single shuffle on doc_id)."""
+    return sh.groupBy("doc_id").agg(
+        *[F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("s")))).alias(f"mh{j}") for j in range(4)]
+    )
+
+
 @register(
     "dedup_minhash_signatures",
     f"""SELECT doc_id, {_mh_duck(0)} AS mh0, {_mh_duck(1)} AS mh1,
@@ -263,12 +281,8 @@ def _mh_duck(j: int) -> str:
 )
 def dedup_minhash_signatures(spark, sf_dir):
     """MinHash signatures (k=4) over word-3-gram shingles; md5-based so the
-    signature is engine-portable.  Scale: one narrow projection, no shuffle."""
-    d = T(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        *[F.expr(_mh_spark(j)).alias(f"mh{j}") for j in range(4)],
-    )
+    signature is engine-portable."""
+    return _signatures(_shingles_exploded(spark, sf_dir))
 
 
 @register(
@@ -303,20 +317,17 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
     Jaccard verify (>= 0.5).  Scale: candidates come from the band
     equi-join (shuffle on band key), never an all-pairs product; the verify
     join touches candidate docs only."""
-    d = T(spark, sf_dir, "documents")
-    sig = d.select(
-        "doc_id", *[F.expr(_mh_spark(j)).alias(f"mh{j}") for j in range(4)]
-    )
+    sh = _shingles_exploded(spark, sf_dir).localCheckpoint()
+    sig = _signatures(sh)
     bands = sig.select(
         "doc_id", F.md5(F.concat("mh0", "mh1")).alias("band")
-    ).unionByName(sig.select("doc_id", F.md5(F.concat("mh2", "mh3")).alias("band")))
+    ).unionByName(sig.select("doc_id", F.md5(F.concat("mh2", "mh3")).alias("band"))).localCheckpoint()
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
-    sh = d.select("doc_id", F.explode(F.array_distinct(F.expr(_SHINGLE_SPARK))).alias("s"))
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         cand.join(sh.alias("x"), F.col("x.doc_id") == F.col("id_a"))

@@ -30,6 +30,14 @@ def get_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
+    # Pin BLAS to one thread per Python worker: N workers x N OpenBLAS
+    # threads oversubscribes N^2 threads and *anti-scales* with core count
+    # (measured 2x slower at local[32] vs local[8] before pinning).
+    # Parallelism belongs to Spark tasks, not to the library inside a task.
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+                "VECLIB_MAXIMUM_THREADS", "NUMEXPR_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+
     cores = default_parallelism()
     master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores}]")
     shuffle_partitions = shuffle_partitions or max(cores, 8)
@@ -44,12 +52,48 @@ def get_spark(
         # Arrow batch size bounds pandas-UDF memory when `content` is large
         # (the reference caps context at 512 tokens, llm_interface.py:122 —
         # same motivation).
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+        # default (10MB) broadcast threshold: bigger thresholds make AQE
+        # convert iterative-loop joins to broadcasts, paying a driver
+        # collect+rebroadcast per join per iteration (measured 75s vs 5s on
+        # the canonicalization loop); intended broadcasts are explicit
+        .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.maxResultSize", "2g")
+        # local mode = single JVM: the default 1g heap GC-thrashes with 32
+        # concurrent task threads; only applies if the JVM isn't started yet
+        .config("spark.driver.memory", os.environ.get("NERZO_DRIVER_MEM", "24g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def warm_python_workers(spark: SparkSession, depth: int = 2) -> None:
+    """Pre-spawn the Python UDF worker pool (pandas/pyarrow imports are
+    ~1-2 s per worker; a chain of N Python stages needs N workers per core).
+    Benchmarks call this once so timings reflect cluster steady state, not
+    worker cold start."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    cores = spark.sparkContext.defaultParallelism
+    df = spark.range(0, cores * 4, numPartitions=cores * 4)
+
+    @F.pandas_udf(LongType())
+    def _noop(x):
+        return x
+
+    for _ in range(depth):
+        def _id(batches):
+            for b in batches:
+                yield b
+
+        df = df.mapInPandas(_id, schema="id long").withColumn("id", _noop(F.col("id")))
+    df.count()
+    # the plain-pickle RDD path (createDataFrame/parallelize) uses a separate
+    # worker bootstrap — warm it too
+    spark.sparkContext.parallelize(range(cores * 2), cores * 2).count()
+    spark.createDataFrame([(1, "x")], "a long, b string").collect()
