@@ -114,10 +114,29 @@ def _accumulate(feats: list[tuple[str, float]]) -> np.ndarray:
     return (v / n if n > 0 else v).astype(np.float32)
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=262_144)
+def _end_vec(surface: str, right3: str) -> np.ndarray:
+    return _accumulate(surface_features(surface, right3))
+
+
+@lru_cache(maxsize=262_144)
+def _start_vec(left16: str) -> np.ndarray:
+    return _accumulate(left_features(left16))
+
+
 def embed_span(surface: str, left_ctx: str, right_ctx: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Single-span embedding (driver-side use: anchors, label centroids)."""
-    start = _accumulate(left_features(left_ctx or ""))
-    end = _accumulate(surface_features(surface or "", right_ctx or ""))
+    """Single-span embedding (also driver-side: anchors, label centroids).
+
+    Memoized per distinct (surface, right-context) and left-context key:
+    surfaces repeat heavily in real corpora, so the cache converts the
+    dominant featurize+normalize cost into dict lookups (the moral
+    equivalent of the reference caching per-phrase embeddings by content
+    hash, step_index_to_database.py:36-49)."""
+    start = _start_vec((left_ctx or "")[-16:])
+    end = _end_vec(surface or "", (right_ctx or "")[:3])
     pair = np.concatenate([start, end])
     n = np.linalg.norm(pair)
     return start, end, (pair / n if n > 0 else pair).astype(np.float32)

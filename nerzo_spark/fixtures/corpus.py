@@ -68,20 +68,8 @@ def mention_id(repo: str, path: str, commit: str, start: int, end: int, surface:
     return "fnd_" + _sha1("".join([repo, path, commit, str(start), str(end), surface]))
 
 
-# --- canonicalization keys: MUST match nerzo_spark/functions/text.py ---------
-
-def norm_key(surface: str) -> str:
-    """Python twin of functions.text.normalize_surface (key #1)."""
-    x = surface.lower()
-    x = re.sub(r"[`'\"]", "", x)
-    x = re.sub(r"^[^a-z0-9]+|[^a-z0-9]+$", "", x)
-    x = re.sub(r"\s+", " ", x)
-    return x
-
-
-def squash(surface: str) -> str:
-    """Python twin of functions.text.squash_key (key #2)."""
-    return re.sub(r"[_.\- ]", "", norm_key(surface))
+# canonicalization keys live in functions/text.py (one source of truth)
+from nerzo_spark.functions.text import norm_key, squash  # noqa: E402,F401
 
 
 # --- surface + context generators per fine type ------------------------------

@@ -118,6 +118,27 @@ def squash_key(col: Column) -> Column:
     return F.regexp_replace(normalize_surface(col), r"[_.\- ]", "")
 
 
+# Python twins (used by driver-side union-find and the fixture generator;
+# MUST stay in lockstep with the Column expressions above) -------------------
+
+def norm_key(surface: str) -> str:
+    """Python twin of :func:`normalize_surface`."""
+    import re
+
+    x = surface.lower()
+    x = re.sub(r"[`'\"]", "", x)
+    x = re.sub(r"^[^a-z0-9]+|[^a-z0-9]+$", "", x)
+    x = re.sub(r"\s+", " ", x)
+    return x
+
+
+def squash(surface: str) -> str:
+    """Python twin of :func:`squash_key`."""
+    import re
+
+    return re.sub(r"[_.\- ]", "", norm_key(surface))
+
+
 # DuckDB twins for the oracle side -----------------------------------------
 
 def normalize_surface_duckdb(expr: str) -> str:

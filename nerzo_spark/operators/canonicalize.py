@@ -5,21 +5,29 @@ Reference analogs: surface normalization rules
 (/root/reference/pocs/poc_fewnerd_extraction.py:14-27, entity_classifier.py:3)
 and prefix-bucket grouping (/root/reference/group_layers.py:38-50).
 
-Algorithm — min-label propagation over a bipartite (node, bucket) graph:
+Semantics — connected components over a bipartite (surface, bucket) graph:
 
-- nodes    = distinct (fine_type, surface) pairs — ALREADY tiny relative to
-  mentions (dedup happens before any iteration);
+- nodes    = distinct (fine_type, surface) pairs — tiny relative to mentions;
 - buckets  = two deterministic keys per node: k1 = normalized surface,
   k2 = separator-squashed k1 (links `parse_config` <-> `parseconfig`);
-- iterate  label(node) <- min over its buckets of min over bucket members,
-  until fixpoint (or max_iter).  Converges in O(cluster diameter) rounds;
-  fixture plants >=3-hop chains so >=2 rounds are genuinely exercised.
+- cluster  = connected component; canonical = lexicographic min k1 in it.
 
-Scale posture: each round is two hash-shuffles on (fine_type, bucket) of the
-*distinct-surface* table, not the mention table.  ``localCheckpoint`` every
-round truncates lineage (iterative self-joins otherwise blow up the plan —
-SURVEY.md §7.3).  Skewed buckets (mega surface forms) are split by AQE skew
-handling; the final mention->entity mapping is a broadcast-friendly join.
+Size-aware execution (the AQE-style decision, explicit):
+
+1. distinct surfaces fit on the driver (`driver_limit`): collect once, exact
+   union-find in Python, broadcast the mapping back — 2 jobs total;
+2. else singleton short-circuit: only surfaces sharing a bucket with another
+   surface ("hot") can merge; if the hot subgraph fits, union-find it on the
+   driver and label the bulk in one pass;
+3. else full distributed min-label propagation: iterate
+   label(node) <- min over buckets of min over members until fixpoint
+   (O(cluster diameter) rounds; fixture plants >=3-hop chains).  Loop joins
+   pinned to shuffle_hash — AQE would otherwise rebroadcast the label table
+   through the driver every iteration (measured 15x slower);
+   ``localCheckpoint`` per round truncates the iterative-lineage blowup
+   (SURVEY.md §7.3).
+
+All three paths produce identical clusters (tests/test_canonicalize_paths.py).
 """
 
 from __future__ import annotations
@@ -28,50 +36,128 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from nerzo_spark.functions.hashing import ent_id
-from nerzo_spark.functions.text import normalize_surface, squash_key
+from nerzo_spark.functions.text import norm_key, normalize_surface, squash, squash_key
+
+
+def _driver_union_find(pairs: list[tuple[str, str]]) -> list[tuple[str, str, str]]:
+    """Exact CC on (fine_type, surface) pairs -> (fine_type, surface,
+    canonical).  Python twin of the distributed propagation (same keys)."""
+    pairs = sorted(set(pairs))
+    parent = {p: p for p in pairs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    first_in_bucket: dict[tuple[str, str], tuple[str, str]] = {}
+    for ft, s in pairs:
+        for key in ((ft, "k1:" + norm_key(s)), (ft, "k2:" + squash(s))):
+            other = first_in_bucket.get(key)
+            if other is None:
+                first_in_bucket[key] = (ft, s)
+            else:
+                union(other, (ft, s))
+
+    cluster_min: dict[tuple[str, str], str] = {}
+    for p in pairs:
+        r = find(p)
+        k1 = norm_key(p[1])
+        if r not in cluster_min or k1 < cluster_min[r]:
+            cluster_min[r] = k1
+    return [(ft, s, cluster_min[find((ft, s))]) for ft, s in pairs]
+
+
+def _with_entity_ids(resolved: DataFrame) -> DataFrame:
+    return resolved.select(
+        "fine_type",
+        "surface",
+        "canonical",
+        ent_id(F.col("fine_type"), F.col("canonical")).alias("entity_id"),
+    )
 
 
 def canonicalize_surfaces(
-    typed_surfaces: DataFrame, max_iter: int = 12, loop_partitions: int = 32
+    typed_surfaces: DataFrame,
+    max_iter: int = 12,
+    loop_partitions: int = 32,
+    driver_limit: int = 500_000,
 ) -> DataFrame:
     """typed_surfaces(fine_type, surface) -> (fine_type, surface, canonical,
-    entity_id).  Deterministic: canonical = lexicographic min k1 in cluster.
+    entity_id).  Deterministic: canonical = lexicographic min k1 in cluster."""
+    spark = typed_surfaces.sparkSession
+    distinct_surfaces = typed_surfaces.select("fine_type", "surface").distinct()
 
-    Loop joins are pinned to shuffle-hash (`hint("shuffle_hash")`): AQE would
-    otherwise convert each to a runtime broadcast — a driver collect +
-    rebroadcast of the full label table twice per iteration (measured 15x
-    slower).  Loop tables are also repartitioned once to `loop_partitions`,
-    decoupling the iteration from however many partitions the mention-scale
-    upstream had."""
+    # Path 1: whole distinct set fits on the driver (count probe first — a
+    # speculative limit().collect() of driver_limit rows is expensive when
+    # the answer is "too big")
+    if driver_limit > 0:
+        distinct_surfaces = distinct_surfaces.localCheckpoint()
+        if distinct_surfaces.count() <= driver_limit:
+            small = distinct_surfaces.collect()
+            mapping = _driver_union_find([(r["fine_type"], r["surface"]) for r in small])
+            mdf = spark.createDataFrame(
+                mapping, "fine_type string, surface string, canonical string"
+            )
+            return _with_entity_ids(F.broadcast(mdf))
+
     nodes = (
-        typed_surfaces.select("fine_type", "surface")
-        .distinct()
+        distinct_surfaces
         .repartition(loop_partitions, "fine_type", "surface")
         .withColumn("k1", normalize_surface(F.col("surface")))
         .withColumn("k2", squash_key(F.col("surface")))
         .withColumn("node_id", F.sha1(F.concat_ws("|", "fine_type", "surface")))
-    )
-
-    # bipartite edges: node -> its (typed) buckets
-    edges = (
-        nodes.select(
-            "node_id",
-            F.explode(
-                F.array(
-                    F.concat_ws("#", F.col("fine_type"), F.lit("k1"), F.col("k1")),
-                    F.concat_ws("#", F.col("fine_type"), F.lit("k2"), F.col("k2")),
-                )
-            ).alias("bucket"),
-        )
-        .distinct()
         .localCheckpoint()
     )
 
-    labels = nodes.select("node_id", F.col("k1").alias("label")).localCheckpoint()
+    all_edges = nodes.select(
+        "node_id",
+        F.explode(
+            F.array(
+                F.concat_ws("#", F.col("fine_type"), F.lit("k1"), F.col("k1")),
+                F.concat_ws("#", F.col("fine_type"), F.lit("k2"), F.col("k2")),
+            )
+        ).alias("bucket"),
+    ).distinct()
 
-    # cluster diameter is small (two bucket keys per node); convergence is
-    # checked every 2 rounds to halve the number of driver actions — each
-    # `changed` count is a full job, the dominant fixed cost of the loop.
+    # singleton short-circuit: only nodes sharing a bucket can merge
+    bucket_sizes = all_edges.groupBy("bucket").agg(F.count("*").alias("n"))
+    hot_nodes = (
+        all_edges.join(bucket_sizes.filter(F.col("n") > 1).hint("shuffle_hash"), "bucket")
+        .select("node_id")
+        .distinct()
+    )
+    hot = (
+        nodes.join(hot_nodes.hint("shuffle_hash"), "node_id")
+        .select("node_id", "fine_type", "surface", "k1", "k2")
+        .localCheckpoint()
+    )
+
+    # Path 2: collision subgraph fits on the driver
+    if driver_limit > 0 and hot.count() <= driver_limit:
+        mapping = _driver_union_find(
+            [(r["fine_type"], r["surface"]) for r in hot.collect()]
+        )
+        mdf = spark.createDataFrame(
+            mapping, "fine_type string, surface string, canonical string"
+        )
+        resolved = nodes.join(F.broadcast(mdf), ["fine_type", "surface"], "left").select(
+            "fine_type",
+            "surface",
+            F.coalesce(F.col("canonical"), F.col("k1")).alias("canonical"),
+        )
+        return _with_entity_ids(resolved)
+
+    # Path 3: distributed min-label propagation over the hot subgraph
+    edges = all_edges.join(hot_nodes.hint("shuffle_hash"), "node_id").localCheckpoint()
+    labels = hot.select("node_id", F.col("k1").alias("label")).localCheckpoint()
+
     for it in range(max_iter):
         bucket_min = (
             edges.hint("shuffle_hash")
@@ -86,6 +172,8 @@ def canonicalize_surfaces(
             .agg(F.min("bucket_label").alias("label"))
             .localCheckpoint()
         )
+        # convergence checked every 2 rounds: each count is a full job, the
+        # dominant fixed cost of the loop
         if it % 2 == 1 or it == max_iter - 1:
             changed = (
                 new_labels.alias("n")
@@ -99,12 +187,9 @@ def canonicalize_surfaces(
                 break
         labels = new_labels
 
-    return (
-        nodes.join(labels, "node_id")
-        .select(
-            "fine_type",
-            "surface",
-            F.col("label").alias("canonical"),
-            ent_id(F.col("fine_type"), F.col("label")).alias("entity_id"),
-        )
+    resolved = nodes.join(labels, "node_id", "left").select(
+        "fine_type",
+        "surface",
+        F.coalesce(F.col("label"), F.col("k1")).alias("canonical"),
     )
+    return _with_entity_ids(resolved)

@@ -31,11 +31,13 @@ from pyspark.sql import functions as F
 from nerzo_spark.embed.embedder import embed_span
 from nerzo_spark.operators.spans import LEFT_CTX, RIGHT_CTX, propose_spans
 
+# slim on purpose: the embedding contexts are consumed in-UDF and never
+# emitted — every extra column here is Arrow + checkpoint cost per mention
 LINKED_SCHEMA = (
     "mention_id string, repo string, path string, commit string, lang string, "
-    "span_start int, span_end int, surface string, left_ctx string, "
-    "right_ctx string, text_id string, sha_ok boolean, "
-    "label_id string, coarse_type string, fine_type string, score double"
+    "span_start int, span_end int, surface string, text_id string, "
+    "sha_ok boolean, label_id string, coarse_type string, fine_type string, "
+    "score double"
 )
 
 
@@ -66,8 +68,7 @@ def extract_and_link(
                 k: []
                 for k in (
                     "mention_id", "repo", "path", "commit", "lang", "span_start",
-                    "span_end", "surface", "left_ctx", "right_ctx", "text_id",
-                    "sha_ok",
+                    "span_end", "surface", "text_id", "sha_ok",
                 )
             }
             vecs: list[np.ndarray] = []
@@ -93,8 +94,6 @@ def extract_and_link(
                     out["span_start"].append(s)
                     out["span_end"].append(e)
                     out["surface"].append(surf)
-                    out["left_ctx"].append(left)
-                    out["right_ctx"].append(right)
                     out["text_id"].append(text_id)
                     out["sha_ok"].append(bool(sha_ok))
                     vecs.append(embed_span(surf, left, right)[2])

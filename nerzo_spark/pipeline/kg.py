@@ -77,6 +77,55 @@ def build_label_catalog(anchor_rows: list[dict]) -> list[dict]:
     return catalog
 
 
+def build_triples(
+    typed: DataFrame, entities: DataFrame, catalog: list[dict]
+) -> DataFrame:
+    """(typed mentions, entity table) -> (subj, pred, obj, provenance).
+
+    Shuffle economics: only ``links_to`` (no dedup) and ``defined_in`` (one
+    dedup shuffle) are mention-scale.  ``typed_as`` and ``subtype_of`` are
+    derived from the ENTITY table + the tiny catalog — label_id is a function
+    of fine_type, so deduping mention rows for them would be wasted shuffles.
+    """
+    spark = typed.sparkSession
+    label_map = F.broadcast(
+        spark.createDataFrame(
+            [(c["fine_type"], c["coarse_type"], c["label_id"]) for c in catalog],
+            "fine_type string, coarse_type string, label_id string",
+        )
+    )
+    ent_typed = (
+        entities.select("entity_id", "fine_type").distinct().join(label_map, "fine_type")
+    )
+
+    null_prov = [
+        F.lit(None).cast("string").alias("repo"),
+        F.lit(None).cast("string").alias("path"),
+        F.lit(None).cast("string").alias("commit"),
+    ]
+    typed_e = typed.join(F.broadcast(entities), ["fine_type", "surface"])
+    prov = F.concat_ws("", F.col("repo"), F.lit("/"), F.col("path"), F.lit("@"), F.col("commit"))
+
+    t_links = typed_e.select(
+        F.col("mention_id").alias("subj"), F.lit("links_to").alias("pred"),
+        F.col("entity_id").alias("obj"), "repo", "path", "commit",
+    )
+    t_defined = typed_e.select(
+        F.col("entity_id").alias("subj"), F.lit("defined_in").alias("pred"),
+        prov.alias("obj"), "repo", "path", "commit",
+    ).dropDuplicates(["subj", "obj"])
+    t_typed = ent_typed.select(
+        F.col("entity_id").alias("subj"), F.lit("typed_as").alias("pred"),
+        F.col("label_id").alias("obj"), *null_prov,
+    )
+    t_subtype = ent_typed.select(
+        F.col("fine_type").alias("subj"), F.lit("subtype_of").alias("pred"),
+        F.col("coarse_type").alias("obj"), *null_prov,
+    ).distinct()
+
+    return t_links.unionByName(t_typed).unionByName(t_defined).unionByName(t_subtype)
+
+
 def run_kg_pipeline(
     spark: SparkSession,
     corpus: DataFrame,
@@ -103,34 +152,7 @@ def run_kg_pipeline(
     ).localCheckpoint()
 
     entities = canonicalize_surfaces(typed.select("fine_type", "surface"))
-
-    typed_e = typed.join(F.broadcast(entities), ["fine_type", "surface"])
-
-    prov = F.concat_ws("", F.col("repo"), F.lit("/"), F.col("path"), F.lit("@"), F.col("commit"))
-    t_links = typed_e.select(
-        F.col("mention_id").alias("subj"), F.lit("links_to").alias("pred"),
-        F.col("entity_id").alias("obj"), "repo", "path", "commit",
-    )
-    t_typed = typed_e.select(
-        F.col("entity_id").alias("subj"), F.lit("typed_as").alias("pred"),
-        F.col("label_id").alias("obj"),
-        F.lit(None).cast("string").alias("repo"),
-        F.lit(None).cast("string").alias("path"),
-        F.lit(None).cast("string").alias("commit"),
-    ).dropDuplicates(["subj", "obj"])
-    t_defined = typed_e.select(
-        F.col("entity_id").alias("subj"), F.lit("defined_in").alias("pred"),
-        prov.alias("obj"), "repo", "path", "commit",
-    ).dropDuplicates(["subj", "obj"])
-    t_subtype = typed_e.select(
-        F.col("fine_type").alias("subj"), F.lit("subtype_of").alias("pred"),
-        F.col("coarse_type").alias("obj"),
-        F.lit(None).cast("string").alias("repo"),
-        F.lit(None).cast("string").alias("path"),
-        F.lit(None).cast("string").alias("commit"),
-    ).dropDuplicates(["subj", "obj"])
-
-    triples = t_links.unionByName(t_typed).unionByName(t_defined).unionByName(t_subtype)
+    triples = build_triples(typed, entities, catalog)
 
     wall_ms = (time.time() - t0) * 1000.0
     lineage = (

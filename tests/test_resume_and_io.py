@@ -1,0 +1,73 @@
+"""Checkpoint/resume (manifest anti-join) + upsert idempotence + TSV round-trip."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from nerzo_spark.fixtures.spark_io import anchors_df, corpus_df
+from nerzo_spark.pipeline.kg import run_kg_pipeline
+from nerzo_spark.pipeline.manifest import ManifestStore
+from nerzo_spark.sources.io import read_tsv, upsert_by_key, write_tsv
+
+
+def test_kill_and_resume_produces_identical_triples(spark, fixture_small, tmp_path):
+    """North rule: identical triples after kill + re-run.  Simulates a crash
+    after only half the repos were extracted+committed, then resumes.
+    Extraction is incremental (manifest anti-join); canonicalization+triples
+    recompute globally — see pipeline/incremental.py."""
+    from nerzo_spark.pipeline.incremental import run_incremental
+
+    fx = fixture_small
+    corpus = corpus_df(spark, fx)
+    anchors = fx.anchors
+    repos = sorted({c["repo"] for c in fx.corpus})
+    first_half = repos[: len(repos) // 2]
+
+    # run 1: "crashes" after extracting half the repos
+    out = str(tmp_path / "kg")
+    run_incremental(spark, corpus.filter(F.col("repo").isin(first_half)), anchors, out)
+
+    # run 2: resume over the FULL corpus — committed repos must be skipped
+    store = ManifestStore(spark, out)
+    assert store.filter_uncommitted(
+        corpus.filter(F.col("repo").isin(first_half)), "extract", "repo"
+    ).count() == 0
+    stats = run_incremental(spark, corpus, anchors, out)
+    assert stats["repos_extracted"] == len(repos) - len(first_half)
+
+    # run 3: pure re-run — nothing to extract, triples unchanged
+    stats3 = run_incremental(spark, corpus, anchors, out)
+    assert stats3["repos_extracted"] == 0
+    assert stats3["triples_total"] == stats["triples_total"]
+
+    resumed = spark.read.parquet(out + "/triples").select("subj", "pred", "obj").distinct()
+    oneshot_out = str(tmp_path / "kg_oneshot")
+    run_incremental(spark, corpus, anchors, oneshot_out)
+    oneshot = spark.read.parquet(oneshot_out + "/triples").select("subj", "pred", "obj").distinct()
+    assert resumed.exceptAll(oneshot).count() == 0
+    assert oneshot.exceptAll(resumed).count() == 0
+
+
+def test_upsert_idempotent(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    df2 = spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string")
+    upsert_by_key(spark, df1, path, "k")
+    upsert_by_key(spark, df2, path, "k")
+    got = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {1: "a", 2: "B", 3: "c"}
+    # re-running the same upsert converges (idempotence, S8)
+    upsert_by_key(spark, df2, path, "k")
+    got2 = {r["k"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got2 == got
+
+
+def test_tsv_roundtrip(spark, tmp_path):
+    p = str(tmp_path / "tsv")
+    df = spark.createDataFrame(
+        [("person", "Alice", "yes", "Alice went home")],
+        "entity_type string, entity_text string, ground_truth_answer string, content string",
+    )
+    write_tsv(df, p)
+    back = read_tsv(spark, p)
+    assert [r.asDict() for r in back.collect()] == [r.asDict() for r in df.collect()]
