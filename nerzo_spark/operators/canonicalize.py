@@ -116,15 +116,19 @@ def canonicalize_surfaces(
         .localCheckpoint()
     )
 
+    # per-row array_distinct (k1 bucket == k2 bucket for separator-free
+    # surfaces) — NOT a shuffle-wide distinct; node_id is already unique
     all_edges = nodes.select(
         "node_id",
         F.explode(
-            F.array(
-                F.concat_ws("#", F.col("fine_type"), F.lit("k1"), F.col("k1")),
-                F.concat_ws("#", F.col("fine_type"), F.lit("k2"), F.col("k2")),
+            F.array_distinct(
+                F.array(
+                    F.concat_ws("#", F.col("fine_type"), F.lit("k1"), F.col("k1")),
+                    F.concat_ws("#", F.col("fine_type"), F.lit("k2"), F.col("k2")),
+                )
             )
         ).alias("bucket"),
-    ).distinct()
+    )
 
     # singleton short-circuit: only nodes sharing a bucket can merge
     bucket_sizes = all_edges.groupBy("bucket").agg(F.count("*").alias("n"))
