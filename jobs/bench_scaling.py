@@ -21,26 +21,33 @@ import sys, time, json
 from nerzo_spark.session import get_spark, warm_python_workers
 from nerzo_spark.fixtures.corpus import anchor_rows_for
 from nerzo_spark.fixtures.distributed import corpus_df_distributed
-from nerzo_spark.pipeline.kg import run_kg_pipeline
-C = int(sys.argv[1]); N = int(sys.argv[2])
+from nerzo_spark.pipeline.kg import build_label_catalog, run_kg_pipeline
+from nerzo_spark.operators.extract_link import extract_and_link
+C = int(sys.argv[1]); N = int(sys.argv[2]); STAGE = sys.argv[3]
 spark = get_spark(f"kg{C}", master=f"local[{C}]", shuffle_partitions=C)
 spark.sparkContext.setLogLevel("ERROR")
 warm_python_workers(spark)
 corpus = corpus_df_distributed(spark, N, partitions=4*C).localCheckpoint()
 anchors = anchor_rows_for(N)
 t0 = time.time()
-res = run_kg_pipeline(spark, corpus, anchors)
-n = res.triples.count()
+if STAGE == "extract":
+    catalog = build_label_catalog(anchors)
+    n = extract_and_link(corpus, catalog).count()
+    unit = "mentions"
+else:
+    res = run_kg_pipeline(spark, corpus, anchors)
+    n = res.triples.count()
+    unit = "triples"
 dt = time.time() - t0
-print(json.dumps({"cores": C, "files": N, "sec": round(dt, 2),
-                  "triples": n, "tps": round(n / dt, 1)}))
+print(json.dumps({"cores": C, "files": N, "stage": STAGE, "sec": round(dt, 2),
+                  unit: n, "tps": round(n / dt, 1)}))
 """
 
 
-def run_once(cores: int, files: int) -> dict:
+def run_once(cores: int, files: int, stage: str = "full") -> dict:
     cmd = [
         "taskset", "-c", f"0-{cores - 1}", sys.executable, "-c", RUNNER,
-        str(cores), str(files),
+        str(cores), str(files), stage,
     ]
     out = subprocess.run(
         cmd, capture_output=True, text=True, check=True, cwd="/root/repo"
@@ -55,12 +62,13 @@ def main() -> None:
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--lo", type=int, default=4)
     ap.add_argument("--hi", type=int, default=16)
+    ap.add_argument("--stage", default="full", choices=["full", "extract"])
     args = ap.parse_args()
 
     runs: dict[int, list[dict]] = {args.lo: [], args.hi: []}
     for rep in range(args.reps):
         for cores in (args.hi, args.lo):
-            r = run_once(cores, args.files)
+            r = run_once(cores, args.files, args.stage)
             runs[cores].append(r)
             print(json.dumps({"rep": rep, **r}), flush=True)
 
@@ -69,7 +77,7 @@ def main() -> None:
     thr_hi = best[args.hi]["tps"]
     eff = (thr_hi / thr_lo) / (args.hi / args.lo)
     print(json.dumps({
-        "files": args.files,
+        "files": args.files, "stage": args.stage,
         "lo_cores": args.lo, "lo_best_sec": best[args.lo]["sec"], "lo_tps": thr_lo,
         "hi_cores": args.hi, "hi_best_sec": best[args.hi]["sec"], "hi_tps": thr_hi,
         "scaling_efficiency": round(eff, 3),

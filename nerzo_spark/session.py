@@ -40,6 +40,14 @@ def get_spark(
 
     cores = default_parallelism()
     master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cores}]")
+    # Shuffle/spill on tmpfs when available: local-mode shuffles are
+    # otherwise bound by shared-disk bandwidth, which does not scale with
+    # cores (on a real cluster this is NVMe-per-executor / push-based
+    # shuffle territory).
+    local_dir = None
+    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        local_dir = "/dev/shm/nerzo-spark-local"
+        os.makedirs(local_dir, exist_ok=True)
     shuffle_partitions = shuffle_partitions or max(cores, 8)
     builder = (
         SparkSession.builder.appName(app_name)
@@ -64,6 +72,11 @@ def get_spark(
         # local mode = single JVM: the default 1g heap GC-thrashes with 32
         # concurrent task threads; only applies if the JVM isn't started yet
         .config("spark.driver.memory", os.environ.get("NERZO_DRIVER_MEM", "24g"))
+    )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
+    builder = (
+        builder
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
