@@ -83,6 +83,12 @@ def _with_entity_ids(resolved: DataFrame) -> DataFrame:
     )
 
 
+def canonical_expr(fine_type, surface, override_canonical):
+    """Column expression: canonical = override (hot cluster) else the
+    surface's own normalized key — the default-rule half of the mapping."""
+    return F.coalesce(override_canonical, normalize_surface(surface))
+
+
 def canonicalize_surfaces(
     typed_surfaces: DataFrame,
     max_iter: int = 12,
@@ -91,6 +97,34 @@ def canonicalize_surfaces(
 ) -> DataFrame:
     """typed_surfaces(fine_type, surface) -> (fine_type, surface, canonical,
     entity_id).  Deterministic: canonical = lexicographic min k1 in cluster."""
+    distinct_surfaces = typed_surfaces.select("fine_type", "surface").distinct()
+    overrides = canonical_overrides(
+        typed_surfaces, max_iter=max_iter, loop_partitions=loop_partitions,
+        driver_limit=driver_limit,
+    )
+    resolved = distinct_surfaces.join(
+        F.broadcast(overrides), ["fine_type", "surface"], "left"
+    ).select(
+        "fine_type",
+        "surface",
+        canonical_expr(F.col("fine_type"), F.col("surface"), F.col("canonical")).alias("canonical"),
+    )
+    return _with_entity_ids(resolved)
+
+
+def canonical_overrides(
+    typed_surfaces: DataFrame,
+    max_iter: int = 12,
+    loop_partitions: int = 32,
+    driver_limit: int = 500_000,
+) -> DataFrame:
+    """The MINIMAL canonicalization mapping: (fine_type, surface, canonical)
+    ONLY for surfaces whose cluster canonical differs from their own
+    normalized key.  Everything else follows the default rule
+    canonical = norm_key(surface) — so consumers join a broadcast-sized
+    override table instead of shuffling a distinct-surface-sized one
+    (measured: forcing the full entity table through a mention-scale join
+    cost +20s at 800k files)."""
     spark = typed_surfaces.sparkSession
     distinct_surfaces = typed_surfaces.select("fine_type", "surface").distinct()
 
@@ -102,10 +136,10 @@ def canonicalize_surfaces(
         if distinct_surfaces.count() <= driver_limit:
             small = distinct_surfaces.collect()
             mapping = _driver_union_find([(r["fine_type"], r["surface"]) for r in small])
-            mdf = spark.createDataFrame(
-                mapping, "fine_type string, surface string, canonical string"
+            overrides = [(ft, s, c) for ft, s, c in mapping if c != norm_key(s)]
+            return spark.createDataFrame(
+                overrides, "fine_type string, surface string, canonical string"
             )
-            return _with_entity_ids(F.broadcast(mdf))
 
     nodes = (
         distinct_surfaces
@@ -148,15 +182,10 @@ def canonicalize_surfaces(
         mapping = _driver_union_find(
             [(r["fine_type"], r["surface"]) for r in hot.collect()]
         )
-        mdf = spark.createDataFrame(
-            mapping, "fine_type string, surface string, canonical string"
+        overrides = [(ft, s, c) for ft, s, c in mapping if c != norm_key(s)]
+        return spark.createDataFrame(
+            overrides, "fine_type string, surface string, canonical string"
         )
-        resolved = nodes.join(F.broadcast(mdf), ["fine_type", "surface"], "left").select(
-            "fine_type",
-            "surface",
-            F.coalesce(F.col("canonical"), F.col("k1")).alias("canonical"),
-        )
-        return _with_entity_ids(resolved)
 
     # Path 3: distributed min-label propagation over the hot subgraph
     edges = all_edges.join(hot_nodes.hint("shuffle_hash"), "node_id").localCheckpoint()
@@ -191,9 +220,9 @@ def canonicalize_surfaces(
                 break
         labels = new_labels
 
-    resolved = nodes.join(labels, "node_id", "left").select(
-        "fine_type",
-        "surface",
-        F.coalesce(F.col("label"), F.col("k1")).alias("canonical"),
+    # hot nodes whose propagated label differs from their own k1
+    return (
+        hot.join(labels, "node_id")
+        .filter(F.col("label") != F.col("k1"))
+        .select("fine_type", "surface", F.col("label").alias("canonical"))
     )
-    return _with_entity_ids(resolved)

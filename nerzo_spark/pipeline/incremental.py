@@ -26,7 +26,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from nerzo_spark.operators.canonicalize import canonicalize_surfaces
+from nerzo_spark.operators.canonicalize import canonical_overrides
 from nerzo_spark.operators.extract_link import extract_and_link
 from nerzo_spark.pipeline.kg import build_label_catalog, build_triples
 from nerzo_spark.pipeline.manifest import ManifestStore
@@ -65,8 +65,21 @@ def run_incremental(
         extracted = len(todo_repos)
 
     all_typed = spark.read.parquet(mentions_path)
-    entities = canonicalize_surfaces(all_typed.select("fine_type", "surface"))
-    triples = build_triples(all_typed, entities, catalog)
+    from nerzo_spark.functions.hashing import ent_id
+    from nerzo_spark.operators.canonicalize import canonical_expr
+
+    surfaces = all_typed.select("fine_type", "surface")
+    overrides = canonical_overrides(surfaces).localCheckpoint()
+    entities = (
+        surfaces.distinct()
+        .join(F.broadcast(overrides), ["fine_type", "surface"], "left")
+        .select(
+            "fine_type", "surface",
+            canonical_expr(F.col("fine_type"), F.col("surface"), F.col("canonical")).alias("canonical"),
+        )
+        .withColumn("entity_id", ent_id(F.col("fine_type"), F.col("canonical")))
+    )
+    triples = build_triples(all_typed, overrides, catalog)
     triples.write.mode("overwrite").partitionBy("pred").parquet(triples_path)
     entities.write.mode("overwrite").parquet(entities_path)
 

@@ -78,15 +78,21 @@ def build_label_catalog(anchor_rows: list[dict]) -> list[dict]:
 
 
 def build_triples(
-    typed: DataFrame, entities: DataFrame, catalog: list[dict]
+    typed: DataFrame, overrides: DataFrame, catalog: list[dict]
 ) -> DataFrame:
-    """(typed mentions, entity table) -> (subj, pred, obj, provenance).
+    """(typed mentions, canonical overrides) -> (subj, pred, obj, provenance).
 
-    Shuffle economics: only ``links_to`` (no dedup) and ``defined_in`` (one
-    dedup shuffle) are mention-scale.  ``typed_as`` and ``subtype_of`` are
-    derived from the ENTITY table + the tiny catalog — label_id is a function
-    of fine_type, so deduping mention rows for them would be wasted shuffles.
+    Shuffle economics: the entity id of a mention is a COLUMN EXPRESSION —
+    ``ent_id(fine_type, coalesce(override, norm_key(surface)))`` — joined
+    only against the broadcast-sized override table (surfaces whose cluster
+    canonical differs from their own key; the hot minority).  The
+    distinct-surface-sized entity table never shuffles against mentions.
+    Only ``links_to`` (no dedup) and ``defined_in`` (one dedup shuffle) are
+    mention-scale; ``typed_as``/``subtype_of`` are entity-scale.
     """
+    from nerzo_spark.functions.hashing import ent_id
+    from nerzo_spark.operators.canonicalize import canonical_expr
+
     spark = typed.sparkSession
     label_map = F.broadcast(
         spark.createDataFrame(
@@ -94,16 +100,24 @@ def build_triples(
             "fine_type string, coarse_type string, label_id string",
         )
     )
-    ent_typed = (
-        entities.select("entity_id", "fine_type").distinct().join(label_map, "fine_type")
-    )
 
     null_prov = [
         F.lit(None).cast("string").alias("repo"),
         F.lit(None).cast("string").alias("path"),
         F.lit(None).cast("string").alias("commit"),
     ]
-    typed_e = typed.join(F.broadcast(entities), ["fine_type", "surface"])
+    typed_e = typed.join(
+        F.broadcast(overrides), ["fine_type", "surface"], "left"
+    ).withColumn(
+        "entity_id",
+        ent_id(
+            F.col("fine_type"),
+            canonical_expr(F.col("fine_type"), F.col("surface"), F.col("canonical")),
+        ),
+    )
+    ent_typed = (
+        typed_e.select("entity_id", "fine_type").distinct().join(label_map, "fine_type")
+    )
     prov = F.concat_ws("", F.col("repo"), F.lit("/"), F.col("path"), F.lit("@"), F.col("commit"))
 
     t_links = typed_e.select(
@@ -156,8 +170,27 @@ def run_kg_pipeline(
     )
     typed.count()  # materialize once
 
-    entities = canonicalize_surfaces(typed.select("fine_type", "surface"))
-    triples = build_triples(typed, entities, catalog)
+    from nerzo_spark.operators.canonicalize import (
+        canonical_expr,
+        canonical_overrides,
+    )
+    from nerzo_spark.functions.hashing import ent_id as _ent_id
+
+    overrides = canonical_overrides(
+        typed.select("fine_type", "surface")
+    ).localCheckpoint()  # broadcast-sized; reused by entities + triples
+    entities = (
+        typed.select("fine_type", "surface")
+        .distinct()
+        .join(F.broadcast(overrides), ["fine_type", "surface"], "left")
+        .select(
+            "fine_type",
+            "surface",
+            canonical_expr(F.col("fine_type"), F.col("surface"), F.col("canonical")).alias("canonical"),
+        )
+        .withColumn("entity_id", _ent_id(F.col("fine_type"), F.col("canonical")))
+    )
+    triples = build_triples(typed, overrides, catalog)
 
     wall_ms = (time.time() - t0) * 1000.0
     lineage = (
