@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 # importing registers every catalog entry
 from nerzo_spark.plans import catalog as _catalog
+from nerzo_spark.plans import catalog_ivf as _catalog_ivf  # noqa: F401
 from nerzo_spark.plans import catalog_kg as _catalog_kg  # noqa: F401
 from nerzo_spark.plans import catalog_more as _catalog_more  # noqa: F401
 from nerzo_spark.plans import catalog_text as _catalog_text  # noqa: F401

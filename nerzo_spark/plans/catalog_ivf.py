@@ -1,0 +1,87 @@
+"""IVF-style approximate nearest neighbor (catalog batch 5).
+
+IVF = coarse quantization: assign every vector to its nearest centroid
+("cell"), then search a query only within its closest `nprobe` cells.  The
+centroid set here is deterministic (the embeddings of the 8 smallest-md5
+vec_ids — a seeded coreset stand-in for k-means, which would just be an
+iterative DataFrame job like canonicalize).  Exercises the same physics as
+production IVF: candidate generation via equi-join on cell id (shuffle on a
+low-cardinality key) instead of a cross join; recall traded for fan-in.
+
+Scale: cells grow with sqrt(N) in production so each cell stays
+executor-sized; the centroid table is always broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from nerzo_spark.functions.hashing import md5_i64_duckdb, md5_i64_sql
+from nerzo_spark.plans.catalog import T, register
+from nerzo_spark.plans.catalog_vec import _COS_DUCK, _COS_SPARK
+
+N_CENTROIDS = 8
+NPROBE = 2
+
+# deterministic centroid pick: smallest md5(vec_id) -> rank 1..K
+_CENT_DUCK = f"""
+  SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS cell,
+         embedding
+  FROM embeddings
+  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= {N_CENTROIDS}
+"""
+
+
+@register(
+    "ann_ivf_probe",
+    f"""WITH cent AS ({_CENT_DUCK}),
+        assign AS (
+          SELECT e.vec_id, e.embedding, c.cell,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   {_COS_DUCK.format(a='e.embedding', b='c.embedding')} DESC, c.cell) AS cr
+          FROM embeddings e CROSS JOIN cent c),
+        cells AS (SELECT vec_id, embedding, cell FROM assign WHERE cr = 1),
+        probes AS (
+          SELECT vec_id AS query_id, embedding AS q_emb, cell
+          FROM assign WHERE cr <= {NPROBE} AND vec_id < 8),
+        scored AS (
+          SELECT p.query_id, x.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY p.query_id ORDER BY
+                   {_COS_DUCK.format(a='p.q_emb', b='x.embedding')} DESC, x.vec_id) AS rank
+          FROM probes p JOIN cells x
+            ON x.cell = p.cell AND x.vec_id <> p.query_id)
+        SELECT query_id, neighbor_id, rank FROM scored WHERE rank <= 3""",
+)
+def ann_ivf_probe(spark, sf_dir):
+    """IVF ANN: centroid assignment (broadcast centroids), nprobe=2 cell
+    probing, exact cosine re-rank within the probed cells."""
+    e = T(spark, sf_dir, "embeddings")
+    w_cent = Window.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+    cent = (
+        e.withColumn("cell", F.row_number().over(w_cent))
+        .filter(F.col("cell") <= N_CENTROIDS)
+        .select("cell", F.col("embedding").alias("c_emb"))
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("sim"), "cell"
+    )
+    assign = (
+        e.crossJoin(F.broadcast(cent))
+        .withColumn("sim", F.expr(_COS_SPARK.format(a="embedding", b="c_emb")))
+        .withColumn("cr", F.row_number().over(w_assign))
+    )
+    cells = assign.filter(F.col("cr") == 1).select("vec_id", "embedding", "cell")
+    probes = (
+        assign.filter((F.col("cr") <= NPROBE) & (F.col("vec_id") < 8))
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "cell")
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("s"), "vec_id")
+    return (
+        probes.join(cells, "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("s", F.expr(_COS_SPARK.format(a="q_emb", b="embedding")))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= 3)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank")
+    )

@@ -6,7 +6,8 @@ from __future__ import annotations
 import pytest
 
 from nerzo_spark.plans import catalog
-import nerzo_spark.plans.catalog_more  # noqa: F401 — registers
+import nerzo_spark.plans.catalog_ivf  # noqa: F401 — registers
+import nerzo_spark.plans.catalog_more  # noqa: F401
 import nerzo_spark.plans.catalog_text  # noqa: F401
 import nerzo_spark.plans.catalog_vec  # noqa: F401
 
