@@ -229,6 +229,7 @@ class Fixture:
     mentions: list[dict] = field(default_factory=list)
     triples: list[dict] = field(default_factory=list)
     anchors: list[dict] = field(default_factory=list)
+    entities: list[dict] = field(default_factory=list)
 
 
 def generate(n_files: int = 120, seed: int = SEED) -> Fixture:
@@ -278,6 +279,16 @@ def _build_gold_triples(fx: Fixture) -> None:
 
     def ent_id(fine: str, canon: str) -> str:
         return "ent_" + _sha1(f"{fine}|{canon}")
+
+    fx.entities = [
+        {
+            "fine_type": ft,
+            "surface": s,
+            "canonical": canonical[(ft, s)],
+            "entity_id": ent_id(ft, canonical[(ft, s)]),
+        }
+        for ft, s in pairs
+    ]
 
     triples: set[tuple] = set()
     for m in fx.mentions:

@@ -147,3 +147,34 @@ def normalize_surface_duckdb(expr: str) -> str:
     x = f"regexp_replace({x}, '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g')"
     x = f"regexp_replace({x}, '\\s+', ' ', 'g')"
     return x
+
+
+# F2 — offset -> token-index mapping (SURVEY.md §2.7 F2) --------------------
+
+def token_offsets(text_col: str) -> "object":
+    """Whitespace tokenizer with exact char offsets as ONE array expression
+    (reference: llm_interface.py:124-211 + llama3_tokenizer.py:56-79 map
+    char spans to token indices via cumulative offsets).
+
+    Prefix sums are built with a single `aggregate` fold over the token
+    array (O(n) per row, JVM-side, NO shuffle — scale-safe at 10^12 rows),
+    then zipped back: returns array<struct<token, char_start, char_end>>.
+    An offset o maps to the token with char_start <= o < char_end.
+    """
+    from pyspark.sql import functions as F
+
+    return F.expr(
+        f"""
+        zip_with(
+          split({text_col}, ' '),
+          slice(
+            aggregate(
+              split({text_col}, ' '),
+              array(0),
+              (acc, t) -> array_append(acc, element_at(acc, -1) + length(t) + 1)),
+            1, size(split({text_col}, ' '))),
+          (t, s) -> struct(t AS token,
+                           CAST(s AS BIGINT) AS char_start,
+                           CAST(s + length(t) AS BIGINT) AS char_end)
+        )"""
+    )

@@ -83,55 +83,99 @@ def knn_self_join(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     label_col: str | None = "label",
+    chunk_rows: int = 200_000,
 ) -> DataFrame:
     """Exact k-NN all-pairs self-join, excluding self (SURVEY.md J2/P10) —
     the R-precision engine (/root/reference/contrastive/
     fewnerd_single_vector_r_precision.py:26-51, FAISS IndexFlatIP over
     L2-normalized vectors == brute-force cosine).
 
-    Implementation: collect the (small, eval-sized) vector set once to the
-    driver, broadcast it into a mapInPandas GEMM; each partition scores its
-    own rows against the full matrix.  Scale path for corpus-sized sets:
-    block the right side into B broadcast chunks and union the per-chunk
-    top-k (same operator, bounded memory) — not needed at eval scale, noted
-    per SURVEY.md §2.3.
-    """
-    cols = [id_col, emb_col] + ([label_col] if label_col else [])
-    rows = vectors.select(*cols).collect()
-    rows.sort(key=lambda r: r[id_col])
-    ids = np.array([r[id_col] for r in rows])
-    mat = np.stack([np.asarray(r[emb_col], dtype=np.float64) for r in rows])
-    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-    labels = np.array([r[label_col] for r in rows]) if label_col else None
+    Blocked broadcast implementation (no full-table driver collect): the
+    right side is split into B = ceil(n / chunk_rows) deterministic chunks
+    (``id % B``); each chunk is collected ONCE (bounded driver memory),
+    broadcast, and scored against every query row with one GEMM per Arrow
+    batch.  The union of per-chunk top-k is re-ranked per query with a
+    window (global top-k is always contained in the union of per-chunk
+    top-k).  Memory is bounded by chunk_rows on both driver and executors,
+    so the same operator runs at corpus scale; with n <= chunk_rows it
+    degenerates to the single-broadcast exact path with zero extra shuffle
+    beyond the final per-query re-rank.
 
-    out_schema = f"query_id long, neighbor_id long, score double, rank int"
+    Determinism: ties broken by neighbor_id ascending (within a chunk via
+    stable argsort over id-sorted rows; across chunks via the final window
+    ORDER BY score DESC, neighbor_id ASC).
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyspark.storagelevel import StorageLevel
+
+    cols = [id_col, emb_col] + ([label_col] if label_col else [])
+    src = vectors.select(*cols)
+    n = src.count()
+    n_chunks = max(1, -(-n // chunk_rows))
+    if n_chunks > 1:
+        src = src.persist(StorageLevel.MEMORY_AND_DISK)
+
+    out_schema = "query_id long, neighbor_id long, score double, rank int"
     if label_col:
         out_schema += ", query_label int, neighbor_label int"
 
-    def _knn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        id_to_idx = {int(i): j for j, i in enumerate(ids)}
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            v = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
-            v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
-            scores = v @ mat.T
-            qidx = np.array([id_to_idx[int(i)] for i in pdf[id_col]])
-            scores[np.arange(len(pdf)), qidx] = -np.inf  # self-exclusion (P10)
-            kk = min(k, scores.shape[1] - 1)
-            top = np.argsort(-scores, axis=1, kind="stable")[:, :kk]
-            n = len(pdf)
-            data = {
-                "query_id": pdf[id_col].to_numpy().repeat(kk),
-                "neighbor_id": ids[top].ravel(),
-                "score": scores[np.arange(n)[:, None], top].ravel(),
-                "rank": np.tile(np.arange(1, kk + 1), n).astype("int32"),
-            }
-            if labels is not None:
-                data["query_label"] = (
-                    np.array([labels[j] for j in qidx]).repeat(kk)
-                )
-                data["neighbor_label"] = labels[top].ravel()
-            yield pd.DataFrame(data)
+    sc = vectors.sparkSession.sparkContext
 
-    return vectors.select(*cols).mapInPandas(_knn, schema=out_schema)
+    def _scorer(bc, kk_cap):
+        def _knn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            ids, mat, labels = bc.value
+            id_set = {int(i): j for j, i in enumerate(ids)}
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                v = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
+                v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
+                scores = v @ mat.T
+                # self-exclusion (P10): the query row may live in this chunk
+                for r, qid in enumerate(pdf[id_col]):
+                    j = id_set.get(int(qid))
+                    if j is not None:
+                        scores[r, j] = -np.inf
+                kk = min(kk_cap, scores.shape[1])
+                top = np.argsort(-scores, axis=1, kind="stable")[:, :kk]
+                nrow = len(pdf)
+                sel = scores[np.arange(nrow)[:, None], top]
+                keep = np.isfinite(sel).ravel()
+                data = {
+                    "query_id": pdf[id_col].to_numpy().repeat(kk)[keep],
+                    "neighbor_id": ids[top].ravel()[keep],
+                    "score": sel.ravel()[keep],
+                    "rank": np.tile(np.arange(1, kk + 1), nrow).astype("int32")[keep],
+                }
+                if labels is not None:
+                    data["query_label"] = pdf[label_col].to_numpy().repeat(kk)[keep]
+                    data["neighbor_label"] = labels[top].ravel()[keep]
+                yield pd.DataFrame(data)
+
+        return _knn
+
+    parts = []
+    for c in range(n_chunks):
+        chunk_df = src if n_chunks == 1 else src.filter(F.col(id_col) % n_chunks == c)
+        rows = chunk_df.collect()
+        rows.sort(key=lambda r: r[id_col])
+        ids = np.array([r[id_col] for r in rows])
+        mat = np.stack([np.asarray(r[emb_col], dtype=np.float64) for r in rows])
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        labels = np.array([r[label_col] for r in rows]) if label_col else None
+        bc = sc.broadcast((ids, mat, labels))
+        # per-chunk k must cover the global k even if all top-k live here;
+        # +1 headroom for the self row masked to -inf
+        parts.append(src.mapInPandas(_scorer(bc, min(k + 1, len(rows))), schema=out_schema))
+
+    union = parts[0]
+    for p in parts[1:]:
+        union = union.unionByName(p)
+    if n_chunks == 1:
+        return union.filter(F.col("rank") <= k)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        union.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -204,25 +204,30 @@ def a4_top_hits_per_bucket(spark, sf_dir):
 
 
 @register(
-    "a5_count_filtered",
-    """SELECT count(*) AS cnt FROM orders WHERE o_orderstatus = 'F'""",
+    "a5_a6_counts",
+    """SELECT CAST(label AS VARCHAR) AS label, count(*) AS cnt
+       FROM embeddings GROUP BY label
+       UNION ALL
+       SELECT '__filtered_orders_F__' AS label, count(*) AS cnt
+       FROM orders WHERE o_orderstatus = 'F'""",
 )
-def a5_count_filtered(spark, sf_dir):
-    """A5 — count matching query (dataset_provider.py:179-181)."""
-    return (
+def a5_a6_counts(spark, sf_dir):
+    """A5 count-matching-query (dataset_provider.py:179-181) + A6
+    count_per_label (fewnerd_single_vector_r_precision.py:35-37) in one
+    driver slot (50-query cap): per-label counts plus one tagged
+    filtered-count row."""
+    per_label = (
+        T(spark, sf_dir, "embeddings")
+        .groupBy(F.col("label").cast("string").alias("label"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    filtered = (
         T(spark, sf_dir, "orders")
         .filter(F.col("o_orderstatus") == "F")
         .agg(F.count("*").alias("cnt"))
+        .select(F.lit("__filtered_orders_F__").alias("label"), "cnt")
     )
-
-
-@register(
-    "a6_count_per_label",
-    """SELECT label, count(*) AS cnt FROM embeddings GROUP BY label""",
-)
-def a6_count_per_label(spark, sf_dir):
-    """A6 — count_per_label (fewnerd_single_vector_r_precision.py:35-37)."""
-    return T(spark, sf_dir, "embeddings").groupBy("label").agg(F.count("*").alias("cnt"))
+    return per_label.unionByName(filtered)
 
 
 @register(
@@ -390,30 +395,39 @@ def w7_islands_run_merge(spark, sf_dir):
 
 
 @register(
-    "setop_except",
-    """SELECT n_nationkey FROM (
+    "setops_except_union",
+    """SELECT 'except' AS op, CAST(n_nationkey AS VARCHAR) AS k, NULL AS split FROM (
          SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
          EXCEPT
-         SELECT DISTINCT s_nationkey AS n_nationkey FROM supplier)""",
-)
-def setop_except(spark, sf_dir):
-    """§2.6 — set difference (type-split complement,
-    fewnerd_processor.py:34 `set(dataset_types) - {result_type}`)."""
-    c = T(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("n_nationkey")).distinct()
-    s = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("n_nationkey")).distinct()
-    return c.subtract(s)
-
-
-@register(
-    "setop_union_splits",
-    """SELECT doc_id, lang, 'big' AS split FROM documents WHERE n_chars > 300
+         SELECT DISTINCT s_nationkey AS n_nationkey FROM supplier)
        UNION ALL
-       SELECT doc_id, lang, 'en' AS split FROM documents WHERE lang = 'en'""",
+       SELECT 'union' AS op, CAST(doc_id AS VARCHAR) AS k, lang || '/big' AS split
+       FROM documents WHERE n_chars > 300
+       UNION ALL
+       SELECT 'union' AS op, CAST(doc_id AS VARCHAR) AS k, lang || '/en' AS split
+       FROM documents WHERE lang = 'en'""",
 )
-def setop_union_splits(spark, sf_dir):
-    """§2.6 — wildcard multi-index read `fewnerd_v4_*`
-    (dataset_provider.py:69) == unionByName of split DataFrames."""
+def setops_except_union(spark, sf_dir):
+    """§2.6 both set ops in one driver slot (50-query cap): set difference
+    (type-split complement, fewnerd_processor.py:34
+    `set(dataset_types) - {result_type}`) + wildcard multi-index read
+    `fewnerd_v4_*` (dataset_provider.py:69) == unionByName of splits."""
+    c = T(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("k")).distinct()
+    s = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("k")).distinct()
+    ex = c.subtract(s).select(
+        F.lit("except").alias("op"),
+        F.col("k").cast("string").alias("k"),
+        F.lit(None).cast("string").alias("split"),
+    )
     d = T(spark, sf_dir, "documents")
-    big = d.filter(F.col("n_chars") > 300).select("doc_id", "lang", F.lit("big").alias("split"))
-    en = d.filter(F.col("lang") == "en").select("doc_id", "lang", F.lit("en").alias("split"))
-    return big.unionByName(en)
+    big = d.filter(F.col("n_chars") > 300).select(
+        F.lit("union").alias("op"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.concat(F.col("lang"), F.lit("/big")).alias("split"),
+    )
+    en = d.filter(F.col("lang") == "en").select(
+        F.lit("union").alias("op"),
+        F.col("doc_id").cast("string").alias("k"),
+        F.concat(F.col("lang"), F.lit("/en")).alias("split"),
+    )
+    return ex.unionByName(big).unionByName(en)

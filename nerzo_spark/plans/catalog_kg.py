@@ -2,19 +2,31 @@
 
 These run the full north-star pipeline (detect -> embed -> link ->
 canonicalize -> triples) over the deterministic fixture corpus (seed 42).
-They are genuinely non-SQL-expressible (iterative connected components,
-pandas-UDF embedder), so no oracle_sql twins — the driver records the weaker
-rows-only check; the strong correctness gate for these is
-tests/test_kg_e2e.py's triple P/R >= 0.95 vs the independent gold fixture.
+The pipeline itself is non-SQL-expressible (iterative connected components,
+pandas-UDF embedder), so the DuckDB oracles read the COMMITTED INDEPENDENT
+GOLD (pure-Python union-find canonicalization over the same generator,
+fixtures/corpus.py + jobs/make_gold.py — regenerate with
+``python jobs/make_gold.py``).  The driver therefore checks the north rule
+(triples == gold, P = R = 1.0) as a hard row-count + schema + value-hash
+signal, not just the pytest golden test.
 """
 
 from __future__ import annotations
 
+import os
 from functools import lru_cache
 
 from pyspark.sql import functions as F
 
 from nerzo_spark.plans.catalog import register
+
+_GOLD = os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", "fixtures", "gold")
+)
+
+
+def _gold_sql(name: str, cols: str) -> str:
+    return f"SELECT {cols} FROM read_parquet('{_GOLD}/{name}.parquet')"
 
 
 @lru_cache(maxsize=1)
@@ -34,28 +46,37 @@ def _run(spark):
     )
 
 
-@register("kg_triples", None)
+@register("kg_triples", _gold_sql("triples", "subj, pred, obj, repo, path, commit"))
 def kg_triples(spark, sf_dir):
     """North star end-to-end: (subj, pred, obj, provenance) triples."""
     return _run(spark).triples
 
 
-@register("kg_entities", None)
+@register("kg_entities", _gold_sql("entities", "fine_type, surface, canonical, entity_id"))
 def kg_entities(spark, sf_dir):
     """Canonical entity table after iterative surface-form clustering."""
     return _run(spark).entities
 
 
-@register("kg_mentions", None)
+@register(
+    "kg_mentions",
+    _gold_sql(
+        "mentions",
+        "mention_id, repo, path, commit, span_start, span_end, surface, sha_ok",
+    ),
+)
 def kg_mentions(spark, sf_dir):
     """Detected mention spans with offsets + sha256 invariant flags."""
-    return _run(spark).mentions.select(
-        "mention_id", "repo", "path", "commit", "span_start", "span_end",
+    m = _run(spark).mentions
+    return m.select(
+        "mention_id", "repo", "path", "commit",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
         "surface", "sha_ok",
     )
 
 
-@register("kg_lineage", None)
+@register("kg_lineage", _gold_sql("lineage", "repo, rows_out, sha_ok, files, stage"))
 def kg_lineage(spark, sf_dir):
     """Per-partition lineage rows (rows_out, sha_ok, files per repo)."""
     return _run(spark).lineage.select(

@@ -80,40 +80,55 @@ def p7_nested_predicate(spark, sf_dir):
 
 
 @register(
-    "e3_roc_auc",
-    """WITH ranked AS (
-         SELECT event_type = 'purchase' AS pos,
-                avg(CAST(rn AS DOUBLE)) OVER (PARTITION BY value) AS r
-         FROM (SELECT event_type, value,
-                      row_number() OVER (ORDER BY value) AS rn FROM events)),
+    "e3_roc_auc_per_type",
+    """WITH scored AS (
+         SELECT CAST(user_id % 3 AS VARCHAR) AS grp, event_type, value FROM events
+         UNION ALL
+         SELECT '__all__' AS grp, event_type, value FROM events),
+       ranked AS (
+         SELECT grp, event_type = 'purchase' AS pos,
+                avg(CAST(rn AS DOUBLE)) OVER (PARTITION BY grp, value) AS r
+         FROM (SELECT grp, event_type, value,
+                      row_number() OVER (PARTITION BY grp ORDER BY value) AS rn
+               FROM scored)),
        agg AS (
-         SELECT sum(CASE WHEN pos THEN r ELSE 0 END) AS sum_rank_pos,
+         SELECT grp,
+                sum(CASE WHEN pos THEN r ELSE 0 END) AS sum_rank_pos,
                 sum(CASE WHEN pos THEN 1 ELSE 0 END) AS np,
                 sum(CASE WHEN pos THEN 0 ELSE 1 END) AS nn
-         FROM ranked)
-       SELECT round((sum_rank_pos - np * (np + 1) / 2.0) / (np * nn), 6) AS auc
+         FROM ranked GROUP BY grp)
+       SELECT grp, round((sum_rank_pos - np * (np + 1) / 2.0) / (np * nn), 6) AS auc
        FROM agg""",
 )
-def e3_roc_auc(spark, sf_dir):
+def e3_roc_auc_per_type(spark, sf_dir):
     """E3 — ROC-AUC (pocs/contrastive_ner.py:162-222) via the Mann-Whitney
     rank-sum identity: AUC = (R+ - n+(n+1)/2) / (n+ n-), with average ranks
-    for tied scores — exact, no sklearn, one sort + one aggregate."""
-    e = T(spark, sf_dir, "events")
-    rn = F.row_number().over(Window.orderBy("value"))
-    ranked = e.select(
-        (F.col("event_type") == "purchase").alias("pos"), "value", rn.alias("rn")
-    ).withColumn("r", F.avg(F.col("rn").cast("double")).over(Window.partitionBy("value")))
-    agg = ranked.agg(
+    for tied scores — exact, no sklearn, one sort + one aggregate.  Per-type
+    breakdown (the reference's main results table,
+    contrastive_ner.py:173-182) as a grouped rank-sum, plus the '__all__'
+    global row — one window shuffle per group key."""
+    e = T(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    per = e.select((F.col("user_id") % 3).cast("string").alias("grp"), "event_type", "value")
+    glob = e.select(F.lit("__all__").alias("grp"), "event_type", "value")
+    scored = per.unionByName(glob)
+    rn = F.row_number().over(Window.partitionBy("grp").orderBy("value"))
+    ranked = scored.select(
+        "grp", (F.col("event_type") == "purchase").alias("pos"), "value", rn.alias("rn")
+    ).withColumn(
+        "r", F.avg(F.col("rn").cast("double")).over(Window.partitionBy("grp", "value"))
+    )
+    agg = ranked.groupBy("grp").agg(
         F.sum(F.when(F.col("pos"), F.col("r")).otherwise(0.0)).alias("sum_rank_pos"),
         F.sum(F.col("pos").cast("int")).alias("np"),
         F.sum((~F.col("pos")).cast("int")).alias("nn"),
     )
     return agg.select(
+        "grp",
         F.round(
             (F.col("sum_rank_pos") - F.col("np") * (F.col("np") + 1) / 2.0)
             / (F.col("np") * F.col("nn")),
             6,
-        ).alias("auc")
+        ).alias("auc"),
     )
 
 

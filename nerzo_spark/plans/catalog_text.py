@@ -28,8 +28,12 @@ def _tk(col="text"):
 # --- F6 parse chain ---------------------------------------------------------
 
 @register(
-    "f6_parse_chain",
+    "f5_f6_prompt_parse",
     """SELECT doc_id,
+              'In the following sentence, specify if the word or word phrase '''
+              || lang || ''' represent a ' || replace('language_tag', '_', ' ')
+              || ': ' || substr(text, 1, 40)
+              || ' Please answer ''yes'' or ''no''.' AS prompt,
               trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
                    regexp_replace(regexp_replace(
                      '1. - ' || substr(text, 1, 30) || '  "end"',
@@ -37,14 +41,22 @@ def _tk(col="text"):
                    '  ', ' ', 'g'), '^\\d+\\.', '', 'g')) AS parsed
        FROM documents""",
 )
-def f6_parse_chain(spark, sf_dir):
-    """F6 — LLM answer parsing chain (poc_fewnerd_extraction.py:11-33):
-    strip list markers / quotes / numbering, collapse doubles, trim."""
-    from nerzo_spark.functions.text import parse_answer_item
+def f5_f6_prompt_parse(spark, sf_dir):
+    """F5 prompt templating (entity_classifier.py:1-5) + F6 LLM answer
+    parsing chain (poc_fewnerd_extraction.py:11-33) in one driver slot
+    (50-query cap): render the classification prompt, and strip list
+    markers / quotes / numbering, collapse doubles, trim."""
+    from nerzo_spark.functions.text import classification_prompt, parse_answer_item
 
     d = T(spark, sf_dir, "documents")
     raw = F.concat(F.lit("1. - "), F.substring("text", 1, 30), F.lit('  "end"'))
-    return d.select("doc_id", parse_answer_item(raw).alias("parsed"))
+    return d.select(
+        "doc_id",
+        classification_prompt(
+            F.lit("language_tag"), F.col("lang"), F.substring("text", 1, 40)
+        ).alias("prompt"),
+        parse_answer_item(raw).alias("parsed"),
+    )
 
 
 # --- F9 prefix grouping -----------------------------------------------------
@@ -179,8 +191,8 @@ def text_quality_scores(spark, sf_dir):
 @register(
     "token_count_totals",
     """SELECT source,
-              sum(len(string_split_regex(text, '\\s+'))) AS ws_tokens,
-              sum(len(regexp_extract_all(text, '[a-z0-9]+'))) AS re_tokens
+              CAST(sum(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS ws_tokens,
+              CAST(sum(len(regexp_extract_all(text, '[a-z0-9]+'))) AS BIGINT) AS re_tokens
        FROM documents GROUP BY source""",
 )
 def token_count_totals(spark, sf_dir):
@@ -295,9 +307,13 @@ def dedup_minhash_signatures(spark, sf_dir):
           SELECT doc_id, md5(mh0 || mh1) AS band FROM sig
           UNION ALL
           SELECT doc_id, md5(mh2 || mh3) AS band FROM sig),
+        band_sizes AS (SELECT band, count(*) AS bcnt FROM bands GROUP BY band),
+        kept AS (
+          SELECT b.doc_id, b.band FROM bands b
+          JOIN band_sizes s ON s.band = b.band AND s.bcnt <= 64),
         cand AS (
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-          FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+          FROM kept a JOIN kept b ON a.band = b.band AND a.doc_id < b.doc_id),
         sh AS (
           SELECT doc_id, unnest(list_distinct({_SHINGLE_DUCK})) AS s FROM documents),
         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -316,31 +332,13 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
     """MinHash-LSH near-dup pairs: band -> bucket-join candidates -> exact
     Jaccard verify (>= 0.5).  Scale: candidates come from the band
     equi-join (shuffle on band key), never an all-pairs product; the verify
-    join touches candidate docs only."""
-    sh = _shingles_exploded(spark, sf_dir).localCheckpoint()
-    sig = _signatures(sh)
-    bands = sig.select(
-        "doc_id", F.md5(F.concat("mh0", "mh1")).alias("band")
-    ).unionByName(sig.select("doc_id", F.md5(F.concat("mh2", "mh3")).alias("band"))).localCheckpoint()
-    cand = (
-        bands.alias("a")
-        .join(bands.alias("b"), (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    inter = (
-        cand.join(sh.alias("x"), F.col("x.doc_id") == F.col("id_a"))
-        .join(sh.alias("y"), (F.col("y.doc_id") == F.col("id_b")) & (F.col("y.s") == F.col("x.s")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("i"))
-    )
-    return (
-        inter.join(sizes.alias("na"), F.col("na.doc_id") == F.col("id_a"))
-        .join(sizes.alias("nb"), F.col("nb.doc_id") == F.col("id_b"))
-        .withColumn("jaccard", F.round(F.col("i") * 1.0 / (F.col("na.n") + F.col("nb.n") - F.col("i")), 6))
-        .filter(F.col("i") * 1.0 / (F.col("na.n") + F.col("nb.n") - F.col("i")) >= 0.5)
-        .select("id_a", "id_b", "jaccard")
+    join touches candidate docs only; bands larger than 64 docs are
+    excluded (quadratic skew guard, operators/dedup.py — the oracle mirrors
+    the same cap)."""
+    from nerzo_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _shingles_exploded(spark, sf_dir), threshold=0.5, band_cap=64
     )
 
 
@@ -431,4 +429,48 @@ def ngram_jaccard_top_pairs(spark, sf_dir):
         )
         .orderBy(F.desc("jaccard"), "id_a", "id_b")
         .limit(20)
+    )
+
+
+# --- F2 offset -> token-index mapping ----------------------------------------
+
+@register(
+    "f2_token_offsets",
+    """WITH t AS (
+         SELECT doc_id,
+                unnest(string_split(text, ' ')) AS token,
+                unnest(generate_series(1, len(string_split(text, ' ')))) AS idx
+         FROM documents),
+       off AS (
+         SELECT doc_id, idx - 1 AS pos, token,
+                CAST(coalesce(sum(length(token) + 1) OVER (
+                   PARTITION BY doc_id ORDER BY idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                  AS char_start
+         FROM t)
+       SELECT doc_id, pos, token, char_start,
+              char_start + length(token) AS char_end,
+              char_start <= 25 AND char_start + length(token) > 25 AS covers_25
+       FROM off WHERE pos < 24""",
+)
+def f2_token_offsets(spark, sf_dir):
+    """F2 — offset -> token-index map (llm_interface.py:124-211,
+    llama3_tokenizer.py:56-79): whitespace tokenizer + cumulative-length
+    char offsets, built as one shuffle-free array fold
+    (functions/text.py token_offsets) then exploded.  `covers_25` is the
+    map applied at char offset 25: the covering token is the row where
+    char_start <= o < char_end."""
+    from nerzo_spark.functions.text import token_offsets
+
+    d = T(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.posexplode(token_offsets("text")).alias("pos", "t")
+    ).filter(F.col("pos") < 24)
+    return tok.select(
+        "doc_id",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("t.token").alias("token"),
+        F.col("t.char_start").alias("char_start"),
+        F.col("t.char_end").alias("char_end"),
+        ((F.col("t.char_start") <= 25) & (F.col("t.char_end") > 25)).alias("covers_25"),
     )

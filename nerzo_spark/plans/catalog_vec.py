@@ -303,23 +303,61 @@ def f1_word_boundary_find(spark, sf_dir):
     )
 
 
-@register(
-    "f5_prompt_templates",
-    """SELECT doc_id,
-              'In the following sentence, specify if the word or word phrase '''
-              || lang || ''' represent a ' || replace('language_tag', '_', ' ')
-              || ': ' || substr(text, 1, 40)
-              || ' Please answer ''yes'' or ''no''.' AS prompt
-       FROM documents""",
-)
-def f5_prompt_templates(spark, sf_dir):
-    """F5 — prompt templating (entity_classifier.py:1-5) as format_string."""
-    d = T(spark, sf_dir, "documents")
-    from nerzo_spark.functions.text import classification_prompt
+# F5 prompt templating lives in catalog_text.py merged with F6
+# (f5_f6_prompt_parse) — one driver slot under the 50-query cap.
 
-    return d.select(
-        "doc_id",
-        classification_prompt(
-            F.lit("language_tag"), F.col("lang"), F.substring("text", 1, 40)
-        ).alias("prompt"),
+
+def _proj_term_duck(o: int) -> str:
+    return (
+        f"round(list_aggregate(list_transform(generate_series(1, len(a.embedding)), "
+        f"i -> ((({o}*31 + (i-1)*17) % 7) - 3) / 10.0 * a.embedding[i]::DOUBLE), 'sum') "
+        f"+ (({o} % 5) - 2) / 10.0, 4) AS p{o}"
+    )
+
+
+_PAIR_PROB_DUCK = """round(1.0 / (1.0 + exp(-(
+      list_aggregate(list_transform(generate_series(1, len(a.embedding)),
+         i -> (((1000 + (i-1)*13) % 11) - 5) / 20.0 * a.embedding[i]::DOUBLE), 'sum')
+    + list_aggregate(list_transform(generate_series(1, len(b.embedding)),
+         i -> (((2000 + (i-1)*7) % 11) - 5) / 20.0 * b.embedding[i]::DOUBLE), 'sum')
+    + 0.05))), 6) AS pair_prob"""
+
+
+@register(
+    "u5_u6_mlp_heads",
+    f"""SELECT a.vec_id, {_proj_term_duck(0)}, {_proj_term_duck(1)},
+               {_proj_term_duck(2)}, {_proj_term_duck(3)},
+               {_PAIR_PROB_DUCK}
+        FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1""",
+)
+def u5_u6_mlp_heads(spark, sf_dir):
+    """U5 MLP projection-head bulk apply (step_generate_ne_embedding.py:68-94,
+    contrastive/mlp.py:6-57) + U6 Detector pair classifier (mlp.py:74-82) in
+    one driver slot: deterministic integer-ratio weights so DuckDB re-derives
+    them in SQL; Spark side is the production Arrow-batched GEMM
+    (operators/projection.py) — broadcast weights, no shuffle."""
+    from nerzo_spark.operators.projection import (
+        det_pair_weights,
+        det_weights,
+        pair_detector_prob,
+        project_head,
+    )
+
+    e = T(spark, sf_dir, "embeddings")
+    d_in = e.select(F.size("embedding").alias("d")).first()["d"]
+    w, bvec = det_weights(d_in, 4)
+    wa, wb, bias = det_pair_weights(d_in)
+    a = e.alias("a")
+    b = e.alias("b")
+    pairs = a.join(b, F.col("b.vec_id") == F.col("a.vec_id") + 1).select(
+        F.col("a.vec_id").alias("vec_id"),
+        project_head(F.col("a.embedding"), w, bvec).alias("proj"),
+        pair_detector_prob(F.col("a.embedding"), F.col("b.embedding"), wa, wb, bias).alias(
+            "raw_prob"
+        ),
+    )
+    return pairs.select(
+        "vec_id",
+        *[F.round(F.element_at("proj", o + 1), 4).alias(f"p{o}") for o in range(4)],
+        F.round("raw_prob", 6).alias("pair_prob"),
     )
