@@ -23,6 +23,13 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--corpus", help="parquet path of corpus table")
     ap.add_argument("--gen-files", type=int, default=0,
                     help="generate fixture corpus with N files instead of reading --corpus")
+    ap.add_argument("--anchors", default=None,
+                    help="parquet path of the anchor fixture (fine_type, mention_id, "
+                         "surface, left_ctx, right_ctx) — required with --corpus")
+    ap.add_argument("--anchor-files", type=int, default=None,
+                    help="derive anchors from the fixture generator at this n_files "
+                         "(must equal the corpus's generation size — gen_file output "
+                         "depends on n_files)")
     ap.add_argument("--output", required=True)
     ap.add_argument("--master", default=None)
     ap.add_argument("--partitions", type=int, default=None)
@@ -44,7 +51,16 @@ def main(argv: list[str] | None = None) -> int:
         if not args.corpus:
             ap.error("--corpus or --gen-files required")
         corpus = spark.read.parquet(args.corpus)
-        anchors = anchor_rows_for(120)
+        # anchors MUST match the corpus: fixture-generated anchor surfaces
+        # depend on n_files, and an external corpus needs its own anchor
+        # table — never silently fall back to the 120-file fixture
+        if args.anchors:
+            anchors = [r.asDict() for r in spark.read.parquet(args.anchors).collect()]
+        elif args.anchor_files:
+            anchors = anchor_rows_for(args.anchor_files)
+        else:
+            ap.error("--corpus requires --anchors PATH or --anchor-files N "
+                     "(anchor fixture must match the corpus)")
 
     stats = run_incremental(
         spark, corpus, anchors, args.output, repartition_to=args.partitions

@@ -127,19 +127,31 @@ def _start_vec(left16: str) -> np.ndarray:
     return _accumulate(left_features(left16))
 
 
+@lru_cache(maxsize=262_144)
+def _pair_vec(left16: str, surface: str, right3: str) -> np.ndarray:
+    start = _start_vec(left16)
+    end = _end_vec(surface, right3)
+    pair = np.concatenate([start, end])
+    n = np.linalg.norm(pair)
+    return (pair / n if n > 0 else pair).astype(np.float32)
+
+
 def embed_span(surface: str, left_ctx: str, right_ctx: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Single-span embedding (also driver-side: anchors, label centroids).
 
-    Memoized per distinct (surface, right-context) and left-context key:
-    surfaces repeat heavily in real corpora, so the cache converts the
-    dominant featurize+normalize cost into dict lookups (the moral
-    equivalent of the reference caching per-phrase embeddings by content
-    hash, step_index_to_database.py:36-49)."""
-    start = _start_vec((left_ctx or "")[-16:])
-    end = _end_vec(surface or "", (right_ctx or "")[:3])
-    pair = np.concatenate([start, end])
-    n = np.linalg.norm(pair)
-    return start, end, (pair / n if n > 0 else pair).astype(np.float32)
+    Memoized per distinct (surface, right-context) and left-context key —
+    AND at the full (left, surface, right) pair level, so repeated spans
+    skip even the concat+renorm: surfaces repeat heavily in real corpora,
+    so the cache converts the dominant featurize+normalize cost into dict
+    lookups (the moral equivalent of the reference caching per-phrase
+    embeddings by content hash, step_index_to_database.py:36-49)."""
+    left16 = (left_ctx or "")[-16:]
+    right3 = (right_ctx or "")[:3]
+    return (
+        _start_vec(left16),
+        _end_vec(surface or "", right3),
+        _pair_vec(left16, surface or "", right3),
+    )
 
 
 _EMB_SCHEMA = StructType(

@@ -14,11 +14,14 @@ Semantics — connected components over a bipartite (surface, bucket) graph:
 
 Size-aware execution (the AQE-style decision, explicit):
 
-1. distinct surfaces fit on the driver (`driver_limit`): collect once, exact
-   union-find in Python, broadcast the mapping back — 2 jobs total;
-2. else singleton short-circuit: only surfaces sharing a bucket with another
-   surface ("hot") can merge; if the hot subgraph fits, union-find it on the
-   driver and label the bulk in one pass;
+1. normalization keys + bucket collisions are ALWAYS computed distributed
+   (Spark regex exprs) — driver-side norm_key() over the distinct-surface
+   set was measured as a ~20 s core-count-invariant sequential cost at 800k
+   files; singleton short-circuit: only surfaces sharing a bucket with
+   another surface ("hot") can merge;
+2. hot subgraph fits on the driver (`driver_limit`): collect it WITH its
+   precomputed keys, exact union-find in Python (dict ops only), broadcast
+   the mapping back;
 3. else full distributed min-label propagation: iterate
    label(node) <- min over buckets of min over members until fixpoint
    (O(cluster diameter) rounds; fixture plants >=3-hop chains).  Loop joins
@@ -39,10 +42,36 @@ from nerzo_spark.functions.hashing import ent_id
 from nerzo_spark.functions.text import norm_key, normalize_surface, squash, squash_key
 
 
-def _driver_union_find(pairs: list[tuple[str, str]]) -> list[tuple[str, str, str]]:
+def _driver_union_find(
+    pairs: list[tuple[str, str]],
+    keys: list[tuple[str, str]] | None = None,
+) -> list[tuple[str, str, str]]:
     """Exact CC on (fine_type, surface) pairs -> (fine_type, surface,
-    canonical).  Python twin of the distributed propagation (same keys)."""
-    pairs = sorted(set(pairs))
+    canonical).  Python twin of the distributed propagation (same keys).
+
+    ``keys``: optional precomputed (k1, k2) per pair — at scale the
+    normalization regexes are evaluated DISTRIBUTED (Spark column exprs,
+    normalize_surface/squash_key) and only the strings land here; running
+    norm_key() on the driver over 10^5+ surfaces was measured as the single
+    largest sequential cost of the whole pipeline (~20 s at 800k files,
+    identical at every core count — an Amdahl bomb)."""
+    if keys is None:
+        order = sorted(range(len(pairs)), key=lambda i: pairs[i])
+        pairs = [pairs[i] for i in order]
+        keys = [(norm_key(s), squash(s)) for _, s in pairs]
+    else:
+        order = sorted(range(len(pairs)), key=lambda i: pairs[i])
+        pairs = [pairs[i] for i in order]
+        keys = [keys[i] for i in order]
+    # dedupe (keep first occurrence; pairs sorted so deterministic)
+    seen: set[tuple[str, str]] = set()
+    dedup_pairs, dedup_keys = [], []
+    for p, k in zip(pairs, keys):
+        if p not in seen:
+            seen.add(p)
+            dedup_pairs.append(p)
+            dedup_keys.append(k)
+    pairs, keys = dedup_pairs, dedup_keys
     parent = {p: p for p in pairs}
 
     def find(x):
@@ -56,9 +85,10 @@ def _driver_union_find(pairs: list[tuple[str, str]]) -> list[tuple[str, str, str
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
 
+    k1_of = {p: k[0] for p, k in zip(pairs, keys)}
     first_in_bucket: dict[tuple[str, str], tuple[str, str]] = {}
-    for ft, s in pairs:
-        for key in ((ft, "k1:" + norm_key(s)), (ft, "k2:" + squash(s))):
+    for (ft, s), (k1, k2) in zip(pairs, keys):
+        for key in ((ft, "k1:" + k1), (ft, "k2:" + k2)):
             other = first_in_bucket.get(key)
             if other is None:
                 first_in_bucket[key] = (ft, s)
@@ -68,7 +98,7 @@ def _driver_union_find(pairs: list[tuple[str, str]]) -> list[tuple[str, str, str
     cluster_min: dict[tuple[str, str], str] = {}
     for p in pairs:
         r = find(p)
-        k1 = norm_key(p[1])
+        k1 = k1_of[p]
         if r not in cluster_min or k1 < cluster_min[r]:
             cluster_min[r] = k1
     return [(ft, s, cluster_min[find((ft, s))]) for ft, s in pairs]
@@ -128,19 +158,11 @@ def canonical_overrides(
     spark = typed_surfaces.sparkSession
     distinct_surfaces = typed_surfaces.select("fine_type", "surface").distinct()
 
-    # Path 1: whole distinct set fits on the driver (count probe first — a
-    # speculative limit().collect() of driver_limit rows is expensive when
-    # the answer is "too big")
-    if driver_limit > 0:
-        distinct_surfaces = distinct_surfaces.localCheckpoint()
-        if distinct_surfaces.count() <= driver_limit:
-            small = distinct_surfaces.collect()
-            mapping = _driver_union_find([(r["fine_type"], r["surface"]) for r in small])
-            overrides = [(ft, s, c) for ft, s, c in mapping if c != norm_key(s)]
-            return spark.createDataFrame(
-                overrides, "fine_type string, surface string, canonical string"
-            )
-
+    # Normalization keys are ALWAYS computed distributed (Spark regex
+    # exprs): running norm_key() on the driver over the distinct-surface set
+    # was the pipeline's largest sequential cost (~20 s at 800k files,
+    # core-count-invariant).  The driver only ever union-finds the HOT
+    # subgraph (surfaces sharing a bucket) with keys precomputed.
     nodes = (
         distinct_surfaces
         .repartition(loop_partitions, "fine_type", "surface")
@@ -177,12 +199,17 @@ def canonical_overrides(
         .localCheckpoint()
     )
 
-    # Path 2: collision subgraph fits on the driver
+    # Path 1/2: collision subgraph fits on the driver — union-find it there
+    # (exact, 1 round-trip); keys come precomputed from the cluster, so the
+    # driver does dict ops only, no regex
     if driver_limit > 0 and hot.count() <= driver_limit:
+        rows = hot.collect()
         mapping = _driver_union_find(
-            [(r["fine_type"], r["surface"]) for r in hot.collect()]
+            [(r["fine_type"], r["surface"]) for r in rows],
+            keys=[(r["k1"], r["k2"]) for r in rows],
         )
-        overrides = [(ft, s, c) for ft, s, c in mapping if c != norm_key(s)]
+        k1_of = {(r["fine_type"], r["surface"]): r["k1"] for r in rows}
+        overrides = [(ft, s, c) for ft, s, c in mapping if c != k1_of[(ft, s)]]
         return spark.createDataFrame(
             overrides, "fine_type string, surface string, canonical string"
         )
@@ -219,6 +246,16 @@ def canonical_overrides(
                 labels = new_labels
                 break
         labels = new_labels
+    else:
+        # loop exhausted max_iter with the final convergence check non-zero:
+        # clusters with diameter > max_iter would get canonicals that
+        # disagree with the exact union-find — fail loudly, never silently
+        if changed > 0:
+            raise RuntimeError(
+                f"canonicalize: min-label propagation did not converge in "
+                f"{max_iter} rounds ({changed} labels still changing); "
+                f"raise max_iter (cluster diameter exceeds it)"
+            )
 
     # hot nodes whose propagated label differs from their own k1
     return (

@@ -59,7 +59,17 @@ def run_incremental(
     extracted = 0
     if todo_repos:
         typed_new = extract_and_link(todo, catalog, repartition_to=repartition_to)
-        typed_new.write.mode("append").parquet(mentions_path)
+        # dynamic partition overwrite by repo: a crash BETWEEN this write
+        # and the manifest commit leaves orphan partitions, and the next
+        # run re-extracts those repos OVERWRITING the same partitions —
+        # exactly-once mention rows at every kill point, not just commit
+        # boundaries (plain append would duplicate them)
+        (
+            typed_new.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("repo")
+            .parquet(mentions_path)
+        )
         # manifest row only AFTER the data write succeeded
         store.commit(STAGE_EXTRACT, todo_repos, run_id)
         extracted = len(todo_repos)

@@ -54,27 +54,48 @@ _CENT_DUCK = f"""
         SELECT query_id, neighbor_id, rank FROM scored WHERE rank <= 3""",
 )
 def ann_ivf_probe(spark, sf_dir):
-    """IVF ANN: centroid assignment (broadcast centroids), nprobe=2 cell
-    probing, exact cosine re-rank within the probed cells."""
+    """IVF ANN: MAP-SIDE centroid assignment (centroids collected once —
+    dimension-sized — and inlined as literal arrays into one sorted-sims
+    array expression: Scan -> Project, NO Exchange before assignment; the
+    old crossJoin + per-vec_id row_number window shuffled all N x K rows),
+    nprobe=2 cell probing, exact cosine re-rank within the probed cells.
+
+    The cosine stays the same sequential-fold SQL expression as the DuckDB
+    oracle (bit-identical sums), so assignment ties resolve identically."""
     e = T(spark, sf_dir, "embeddings")
-    w_cent = Window.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
-    cent = (
-        e.withColumn("cell", F.row_number().over(w_cent))
-        .filter(F.col("cell") <= N_CENTROIDS)
-        .select("cell", F.col("embedding").alias("c_emb"))
+    cent_rows = (
+        e.select(
+            "vec_id", "embedding", F.md5(F.col("vec_id").cast("string")).alias("h")
+        )
+        .orderBy("h", "vec_id")
+        .limit(N_CENTROIDS)
+        .collect()
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("sim"), "cell"
+
+    def _lit_arr(vals) -> str:
+        return "array(" + ", ".join(repr(float(v)) + "D" for v in vals) + ")"
+
+    sims = ", ".join(
+        "named_struct('sim', "
+        + _COS_SPARK.format(a="embedding", b=_lit_arr(r["embedding"]))
+        + f", 'cell', {cell})"
+        for cell, r in enumerate(cent_rows, start=1)
     )
-    assign = (
-        e.crossJoin(F.broadcast(cent))
-        .withColumn("sim", F.expr(_COS_SPARK.format(a="embedding", b="c_emb")))
-        .withColumn("cr", F.row_number().over(w_assign))
+    sorted_cells = (
+        f"array_sort(array({sims}), (l, r) -> CASE WHEN l.sim > r.sim THEN -1 "
+        "WHEN l.sim < r.sim THEN 1 ELSE l.cell - r.cell END)"
     )
-    cells = assign.filter(F.col("cr") == 1).select("vec_id", "embedding", "cell")
+    assigned = e.withColumn("cells", F.expr(sorted_cells))
+    cells = assigned.select(
+        "vec_id", "embedding", F.expr("cells[0].cell").alias("cell")
+    )
     probes = (
-        assign.filter((F.col("cr") <= NPROBE) & (F.col("vec_id") < 8))
-        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"), "cell")
+        assigned.filter(F.col("vec_id") < 8)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.explode(F.expr(f"transform(slice(cells, 1, {NPROBE}), c -> c.cell)")).alias("cell"),
+        )
     )
     w_rank = Window.partitionBy("query_id").orderBy(F.desc("s"), "vec_id")
     return (

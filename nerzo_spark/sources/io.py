@@ -56,8 +56,18 @@ def upsert_by_key(
         merged = keep.unionByName(incoming.dropDuplicates([key]))
     else:
         merged = incoming.dropDuplicates([key])
+    # write to tmp, then RENAME over the live path: the swap is a metadata
+    # op, so a crash leaves either the old table or the new one — never a
+    # half-written live dir (Iceberg gives this via snapshot commit; parquet
+    # emulation uses the posix rename)
     tmp = path + ".tmp"
     merged.write.mode("overwrite").parquet(tmp)
-    final = spark.read.parquet(tmp)
-    final.write.mode("overwrite").parquet(path)
+    old = path + ".old"
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(tmp, path)
+    if os.path.exists(old):
+        import shutil
+
+        shutil.rmtree(old)
     return spark.read.parquet(path)

@@ -84,13 +84,22 @@ def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
-def run_available_now(stream_df: DataFrame, query_name: str) -> list:
+def run_available_now(
+    stream_df: DataFrame, query_name: str, output_mode: str | None = None
+) -> list:
     """Drain a file-backed stream with the availableNow trigger into an
-    in-memory sink and return the rows (test/bench harness)."""
+    in-memory sink and return the rows (test/bench harness).
+
+    output_mode: None derives it from the plan — 'complete' only for
+    aggregating streams (the only mode they accept with a memory sink);
+    stateless streams (dropDuplicates, maps, filters) use 'append'."""
+    if output_mode is None:
+        plan = stream_df._jdf.queryExecution().analyzed().toString()
+        output_mode = "complete" if "Aggregate" in plan else "append"
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("complete" if stream_df.isStreaming else "append")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

@@ -71,3 +71,55 @@ def test_tsv_roundtrip(spark, tmp_path):
     write_tsv(df, p)
     back = read_tsv(spark, p)
     assert [r.asDict() for r in back.collect()] == [r.asDict() for r in df.collect()]
+
+
+def test_torn_crash_no_duplicate_mentions(spark, fixture_small, tmp_path):
+    """Exactly-once at EVERY kill point: simulate a crash BETWEEN the
+    mentions partition write and the manifest commit (the at-least-once gap
+    flagged in round 1) — the resumed run re-extracts the orphan repos and
+    must OVERWRITE their partitions, not append duplicates."""
+    from nerzo_spark.pipeline.incremental import run_incremental
+    from nerzo_spark.pipeline.kg import build_label_catalog
+    from nerzo_spark.operators.extract_link import extract_and_link
+
+    fx = fixture_small
+    corpus = corpus_df(spark, fx)
+    out = str(tmp_path / "kg_torn")
+
+    # torn write: extract TWO repos, write their partitions, DON'T commit
+    repos = sorted({c["repo"] for c in fx.corpus})[:2]
+    catalog = build_label_catalog(fx.anchors)
+    typed = extract_and_link(corpus.filter(F.col("repo").isin(repos)), catalog)
+    (
+        typed.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("repo")
+        .parquet(out + "/mentions")
+    )
+    orphan_rows = spark.read.parquet(out + "/mentions").count()
+    assert orphan_rows > 0
+
+    # full run over the whole corpus: the orphan repos are uncommitted, so
+    # they re-extract — row counts must equal a clean one-shot run
+    run_incremental(spark, corpus, fx.anchors, out)
+    mentions = spark.read.parquet(out + "/mentions")
+    assert mentions.count() == mentions.dropDuplicates(["mention_id"]).count()
+
+    clean = str(tmp_path / "kg_clean")
+    run_incremental(spark, corpus, fx.anchors, clean)
+    assert mentions.count() == spark.read.parquet(clean + "/mentions").count()
+    t_a = spark.read.parquet(out + "/triples").select("subj", "pred", "obj")
+    t_b = spark.read.parquet(clean + "/triples").select("subj", "pred", "obj")
+    assert t_a.count() == t_b.count()
+    assert t_a.exceptAll(t_b).count() == 0
+
+
+def test_upsert_no_tmp_leak(spark, tmp_path):
+    import os
+
+    path = str(tmp_path / "tbl2")
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    upsert_by_key(spark, df, path, "k")
+    upsert_by_key(spark, df, path, "k")
+    assert not os.path.exists(path + ".tmp")
+    assert not os.path.exists(path + ".old")
