@@ -32,12 +32,20 @@ FEATURE_DIM = 64
 
 
 def repartition_for_payloads(df: DataFrame, target_bytes: int = 64 << 20,
-                             avg_payload_bytes: int = 1 << 20) -> DataFrame:
+                             avg_payload_bytes: int = 1 << 20,
+                             n_rows: int | None = None) -> DataFrame:
     """Size-based repartition: with large binaries, rows-per-partition must be
     derived from a byte budget (the moral equivalent of
-    spark.sql.files.maxPartitionBytes for already-loaded data)."""
+    spark.sql.files.maxPartitionBytes for already-loaded data).
+
+    ``n_rows``: pass the (approximate) row count when the caller already
+    knows it — e.g. from the source table's metadata/snapshot — so this
+    helper costs zero jobs; otherwise it falls back to one count() (flagged
+    in round 1 as a per-call job)."""
     rows_per_part = max(1, target_bytes // max(1, avg_payload_bytes))
-    n = max(1, int(np.ceil(df.count() / rows_per_part)))
+    if n_rows is None:
+        n_rows = df.count()
+    n = max(1, int(np.ceil(n_rows / rows_per_part)))
     return df.repartition(n, "asset_id")
 
 

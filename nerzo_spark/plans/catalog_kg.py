@@ -36,14 +36,23 @@ def _fixture():
     return generate(n_files=120)
 
 
-def _run(spark):
-    from nerzo_spark.fixtures.spark_io import anchors_df, corpus_df
-    from nerzo_spark.pipeline.kg import run_kg_pipeline
+_run_cache: dict[int, object] = {}
 
-    fx = _fixture()
-    return run_kg_pipeline(
-        spark, corpus_df(spark, fx), anchors_df(spark, fx), repartition_to=8
-    )
+
+def _run(spark):
+    """One pipeline execution per SparkSession: the 4 kg_* driver queries
+    share the same KGResult (persisted mentions), so the driver pays the
+    extract+link stage once, not four times."""
+    key = id(spark)
+    if key not in _run_cache:
+        from nerzo_spark.fixtures.spark_io import anchors_df, corpus_df
+        from nerzo_spark.pipeline.kg import run_kg_pipeline
+
+        fx = _fixture()
+        _run_cache[key] = run_kg_pipeline(
+            spark, corpus_df(spark, fx), anchors_df(spark, fx), repartition_to=8
+        )
+    return _run_cache[key]
 
 
 @register("kg_triples", _gold_sql("triples", "subj, pred, obj, repo, path, commit"))
