@@ -165,17 +165,17 @@ def canonical_overrides(
     # subgraph (surfaces sharing a bucket) with keys precomputed.
     nodes = (
         distinct_surfaces
-        .repartition(loop_partitions, "fine_type", "surface")
         .withColumn("k1", normalize_surface(F.col("surface")))
         .withColumn("k2", squash_key(F.col("surface")))
         .withColumn("node_id", F.sha1(F.concat_ws("|", "fine_type", "surface")))
-        .localCheckpoint()
     )
 
     # per-row array_distinct (k1 bucket == k2 bucket for separator-free
-    # surfaces) — NOT a shuffle-wide distinct; node_id is already unique
+    # surfaces) — NOT a shuffle-wide distinct; node_id is already unique.
+    # Node payload rides WITH the edge so the hot subgraph needs no join
+    # back to `nodes` (round-1 shape cost 3 shuffles + 2 checkpoints here).
     all_edges = nodes.select(
-        "node_id",
+        "node_id", "fine_type", "surface", "k1", "k2",
         F.explode(
             F.array_distinct(
                 F.array(
@@ -186,37 +186,60 @@ def canonical_overrides(
         ).alias("bucket"),
     )
 
-    # singleton short-circuit: only nodes sharing a bucket can merge
-    bucket_sizes = all_edges.groupBy("bucket").agg(F.count("*").alias("n"))
-    hot_nodes = (
-        all_edges.join(bucket_sizes.filter(F.col("n") > 1).hint("shuffle_hash"), "bucket")
-        .select("node_id")
-        .distinct()
+    # singleton short-circuit in ONE bucket-keyed shuffle: only nodes
+    # sharing a bucket can merge; a count window keeps multi-member buckets
+    from pyspark.sql import Window
+
+    hot_edges = (
+        all_edges.withColumn("bn", F.count("*").over(Window.partitionBy("bucket")))
+        .filter(F.col("bn") > 1)
+        .drop("bn")
+        .localCheckpoint()  # tiny (collision buckets only); reused below
     )
-    hot = (
-        nodes.join(hot_nodes.hint("shuffle_hash"), "node_id")
-        .select("node_id", "fine_type", "surface", "k1", "k2")
-        .localCheckpoint()
-    )
+    hot = hot_edges.select(
+        "node_id", "fine_type", "surface", "k1", "k2"
+    ).dropDuplicates(["node_id"])
 
     # Path 1/2: collision subgraph fits on the driver — union-find it there
     # (exact, 1 round-trip); keys come precomputed from the cluster, so the
     # driver does dict ops only, no regex
-    if driver_limit > 0 and hot.count() <= driver_limit:
-        rows = hot.collect()
-        mapping = _driver_union_find(
-            [(r["fine_type"], r["surface"]) for r in rows],
-            keys=[(r["k1"], r["k2"]) for r in rows],
-        )
-        k1_of = {(r["fine_type"], r["surface"]): r["k1"] for r in rows}
-        overrides = [(ft, s, c) for ft, s, c in mapping if c != k1_of[(ft, s)]]
-        return spark.createDataFrame(
-            overrides, "fine_type string, surface string, canonical string"
-        )
+    if driver_limit > 0:
+        rows = hot.limit(driver_limit + 1).collect()
+        if len(rows) <= driver_limit:
+            mapping = _driver_union_find(
+                [(r["fine_type"], r["surface"]) for r in rows],
+                keys=[(r["k1"], r["k2"]) for r in rows],
+            )
+            k1_of = {(r["fine_type"], r["surface"]): r["k1"] for r in rows}
+            overrides = [
+                (ft, s, c) for ft, s, c in mapping if c != k1_of[(ft, s)]
+            ]
+            import pandas as pd
+
+            # Arrow-path createDataFrame (plain parallelize costs a cold
+            # 4-9 s RDD job for even a 3k-row table)
+            return spark.createDataFrame(
+                pd.DataFrame(
+                    overrides, columns=["fine_type", "surface", "canonical"]
+                ).astype(str)
+                if overrides
+                else pd.DataFrame(
+                    {"fine_type": pd.Series(dtype=str),
+                     "surface": pd.Series(dtype=str),
+                     "canonical": pd.Series(dtype=str)}
+                ),
+                schema="fine_type string, surface string, canonical string",
+            )
 
     # Path 3: distributed min-label propagation over the hot subgraph
-    edges = all_edges.join(hot_nodes.hint("shuffle_hash"), "node_id").localCheckpoint()
-    labels = hot.select("node_id", F.col("k1").alias("label")).localCheckpoint()
+    # (singleton buckets dropped above contribute only a node's own label
+    # to the bucket-min — removing them cannot change any fixpoint label)
+    edges = hot_edges.select("node_id", "bucket")
+    labels = (
+        hot.repartition(loop_partitions, "node_id")
+        .select("node_id", F.col("k1").alias("label"))
+        .localCheckpoint()
+    )
 
     for it in range(max_iter):
         bucket_min = (
