@@ -24,10 +24,29 @@ from nerzo_spark.fixtures.distributed import corpus_df_distributed
 from nerzo_spark.pipeline.kg import build_label_catalog, run_kg_pipeline
 from nerzo_spark.operators.extract_link import extract_and_link
 C = int(sys.argv[1]); N = int(sys.argv[2]); STAGE = sys.argv[3]
-spark = get_spark(f"kg{C}", master=f"local[{C}]", shuffle_partitions=C)
+# SAME plan at every core count: input partitioning and shuffle partitions
+# are fixed (64 / 32) — only executor slots vary, as on a real cluster.
+# Round 1 varied both WITH the core count (partitions=4*C, shuffle=C),
+# which handed the low-core config a structurally cheaper plan and biased
+# the efficiency ratio downward.
+# maxPartitionBytes sized so the ~64-file corpus scan yields ~128 splits at
+# every core count (default 128MB + 4MB openCost would pack it into ~4)
+spark = get_spark(f"kg{C}", master=f"local[{C}]", shuffle_partitions=32,
+                  extra_conf={"spark.sql.files.maxPartitionBytes": "2m",
+                              "spark.sql.files.openCostInBytes": "1m"})
 spark.sparkContext.setLogLevel("ERROR")
 warm_python_workers(spark)
-corpus = corpus_df_distributed(spark, N, partitions=4*C).localCheckpoint()
+# pre-materialized input = PARQUET on tmpfs (the Iceberg-shaped source the
+# north rule names).  localCheckpoint held the corpus as 800k deserialized
+# JVM row objects — iterating those from 16 task threads was itself a
+# scaling sink (GC + pointer chasing); a columnar scan is the real input
+# path AND scales.  Generation is excluded from the timed region either way.
+import os, shutil
+corpus_path = os.environ.get("NERZO_BENCH_CORPUS", f"/dev/shm/nerzo_corpus_{N}")
+if not os.path.exists(corpus_path):
+    corpus_df_distributed(spark, N, partitions=64).write.mode("overwrite").parquet(corpus_path + ".tmp")
+    os.rename(corpus_path + ".tmp", corpus_path)
+corpus = spark.read.parquet(corpus_path)
 anchors = anchor_rows_for(N)
 t0 = time.time()
 if STAGE == "extract":

@@ -270,10 +270,20 @@ def _mh_duck(j: int) -> str:
 def _shingles_exploded(spark, sf_dir):
     """(doc_id, s) distinct word-3-gram shingles — the shared base table for
     the whole minhash family.  min over distinct == min over all, so one
-    distinct explode feeds signatures, bands and Jaccard verification."""
+    distinct explode feeds signatures, bands and Jaccard verification.
+
+    The token array is materialized ONCE per row in its own Project —
+    inlining `split(text)` into the transform lambda re-evaluated it per
+    shingle index (O(tokens^2) per doc; measured ~3x the stage time)."""
     d = T(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id", F.explode(F.array_distinct(F.expr(_SHINGLE_SPARK))).alias("s")
+    shingle_from_toks = (
+        "transform(sequence(1, greatest(size(toks) - 2, 1)),"
+        " i -> concat_ws(' ', element_at(toks, i),"
+        " try_element_at(toks, i + 1), try_element_at(toks, i + 2)))"
+    )
+    return (
+        d.select("doc_id", F.split(F.col("text"), r"\s+").alias("toks"))
+        .select("doc_id", F.explode(F.array_distinct(F.expr(shingle_from_toks))).alias("s"))
     )
 
 

@@ -60,7 +60,13 @@ def get_spark(
         # Arrow batch size bounds pandas-UDF memory when `content` is large
         # (the reference caps context at 512 tokens, llm_interface.py:122 —
         # same motivation).
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+        # 64k-row Arrow batches: at 8192 the per-batch handoff (socket
+        # roundtrip + pandas assembly) cost ~20% of the extraction stage at
+        # 16 cores (measured 24.9s -> 21.0s at 800k files); mention/doc rows
+        # are small so 64k rows stay ~10-30 MB per batch in flight.  Byte-
+        # bounded payloads (multimodal) size partitions separately via
+        # repartition_for_payloads.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         # default (10MB) broadcast threshold: bigger thresholds make AQE
         # convert iterative-loop joins to broadcasts, paying a driver
         # collect+rebroadcast per join per iteration (measured 75s vs 5s on
