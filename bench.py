@@ -21,7 +21,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
-    ap.add_argument("--kg-files", type=int, default=int(os.environ.get("NERZO_BENCH_KG_FILES", "100000")))
+    # 400k files: at 100k the pipeline's fixed costs dominated the
+    # triples/sec headline (same operators, ~4x lower apparent throughput)
+    ap.add_argument("--kg-files", type=int, default=int(os.environ.get("NERZO_BENCH_KG_FILES", "400000")))
     args = ap.parse_args()
 
     from nerzo_spark.session import get_spark, warm_python_workers

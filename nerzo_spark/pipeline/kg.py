@@ -124,10 +124,17 @@ def build_triples(
         F.col("mention_id").alias("subj"), F.lit("links_to").alias("pred"),
         F.col("entity_id").alias("obj"), "repo", "path", "commit",
     )
-    t_defined = typed_e.select(
-        F.col("entity_id").alias("subj"), F.lit("defined_in").alias("pred"),
-        prov.alias("obj"), "repo", "path", "commit",
-    ).dropDuplicates(["subj", "obj"])
+    # dedup BEFORE building the prov string: obj is a function of
+    # (repo, path, commit), so the key is identical but the shuffle moves
+    # ~100B/row less (0.3 GB at 3.2M mentions); literals added post-shuffle
+    t_defined = (
+        typed_e.select(F.col("entity_id").alias("subj"), "repo", "path", "commit")
+        .dropDuplicates(["subj", "repo", "path", "commit"])
+        .select(
+            "subj", F.lit("defined_in").alias("pred"), prov.alias("obj"),
+            "repo", "path", "commit",
+        )
+    )
     t_typed = ent_typed.select(
         F.col("entity_id").alias("subj"), F.lit("typed_as").alias("pred"),
         F.col("label_id").alias("obj"), *null_prov,
