@@ -64,12 +64,9 @@ def run_incremental(
         # run re-extracts those repos OVERWRITING the same partitions —
         # exactly-once mention rows at every kill point, not just commit
         # boundaries (plain append would duplicate them)
-        (
-            typed_new.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("repo")
-            .parquet(mentions_path)
-        )
+        from nerzo_spark.sources.iceberg import write_overwrite_dynamic
+
+        write_overwrite_dynamic(typed_new, "nerzo.mentions", "repo", mentions_path)
         # manifest row only AFTER the data write succeeded
         store.commit(STAGE_EXTRACT, todo_repos, run_id)
         extracted = len(todo_repos)

@@ -56,3 +56,40 @@ def test_q1_single_shuffle(spark):
     plan = plan_of(catalog.queries()["a2_filter_agg_q1"](spark, SF))
     tree = plan.split("(1) Scan")[0]  # operator tree, before node details
     assert tree.count("Exchange") == 1
+
+
+def test_ivf_assignment_no_exchange_before_probe_join(spark):
+    """Round-2 fix: centroid assignment is a map-side array expression —
+    the plan up to the probes x cells join must contain NO shuffle Exchange
+    (the round-1 crossJoin + per-vec row_number shuffled all N x K rows)."""
+    import nerzo_spark.plans.catalog_ivf  # noqa: F401
+
+    df = catalog.queries()["ann_ivf_probe"](spark, SF)
+    plan = plan_of(df)
+    tree = plan.split("(1) Scan")[0]
+    # allowed: 1 broadcast exchange (probes->cells join) + 1 shuffle for the
+    # final per-query top-k window; nothing before assignment
+    shuffles = tree.count("Exchange") - tree.count("BroadcastExchange")
+    assert shuffles <= 2, plan[:2000]
+
+
+def test_f2_token_offsets_shuffle_free(spark):
+    """The prefix-sum offsets are one array fold: Scan -> Project -> Explode,
+    zero Exchanges of any kind."""
+    import nerzo_spark.plans.catalog_text as ct
+
+    df = catalog.queries()["f2_token_offsets"](spark, SF)
+    tree = plan_of(df).split("(1) Scan")[0]
+    assert "Exchange" not in tree
+
+
+def test_u5_projection_no_shuffle_beyond_join(spark):
+    """U5/U6 heads ride the UDF closure: only the self-join machinery may
+    exchange; the GEMM itself adds no Exchange."""
+    import nerzo_spark.plans.catalog_vec  # noqa: F401
+
+    df = catalog.queries()["u5_u6_mlp_heads"](spark, SF)
+    tree = plan_of(df).split("(1) Scan")[0]
+    # vec_id+1 equi-join on a small table -> broadcast; no other shuffles
+    shuffles = tree.count("Exchange") - tree.count("BroadcastExchange")
+    assert shuffles == 0, tree

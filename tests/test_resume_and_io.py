@@ -123,3 +123,23 @@ def test_upsert_no_tmp_leak(spark, tmp_path):
     upsert_by_key(spark, df, path, "k")
     assert not os.path.exists(path + ".tmp")
     assert not os.path.exists(path + ".old")
+
+
+def test_iceberg_adapter_fallback(spark, tmp_path):
+    """No Iceberg runtime in this container: the adapter must detect that
+    and degrade to the parquet emulation with identical semantics."""
+    from nerzo_spark.sources import iceberg as ice
+
+    assert ice.iceberg_available(spark) is False
+    p = str(tmp_path / "ice_tbl")
+    ice.ensure_table(spark, "db.t", "k long, v string", None, p)
+    assert spark.read.parquet(p).count() == 0
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    df2 = spark.createDataFrame([(2, "B")], "k long, v string")
+    ice.upsert(spark, df1, "db.t", "k", p)
+    ice.upsert(spark, df2, "db.t", "k", p)
+    got = {r["k"]: r["v"] for r in spark.read.parquet(p).collect()}
+    assert got == {1: "a", 2: "B"}
+    pp = str(tmp_path / "ice_part")
+    ice.write_overwrite_dynamic(df1.withColumn("part", df1.k % 2), "db.p", "part", pp)
+    assert spark.read.parquet(pp).count() == 2

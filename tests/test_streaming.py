@@ -52,3 +52,47 @@ def test_dedup_stream_drops_duplicate_ids(spark, event_json_dir, tmp_path):
     q.awaitTermination()
     got = spark.sql("SELECT count(*) c, count(DISTINCT event_id) d FROM dedup_stream_t").first()
     assert got["c"] == got["d"] == batch.select("event_id").distinct().count()
+
+
+def test_streaming_kg_equals_batch(spark, fixture_small, tmp_path):
+    """Stream==batch twin for the WHOLE KG pipeline: corpus files landing in
+    two waves, drained with availableNow through foreachBatch ->
+    run_incremental, must produce exactly the batch pipeline's triples —
+    and a REPLAYED batch (simulating foreachBatch at-least-once) must
+    change nothing (manifest + partition overwrite idempotence)."""
+    from pyspark.sql import functions as F
+
+    from nerzo_spark.fixtures.spark_io import corpus_df
+    from nerzo_spark.streaming.kg_stream import stream_kg_available_now
+
+    fx = fixture_small
+    corpus = corpus_df(spark, fx)
+    repos = sorted({c["repo"] for c in fx.corpus})
+    half = repos[: len(repos) // 2]
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "kg_stream")
+    ckpt = str(tmp_path / "ckpt")
+
+    # wave 1 lands, drain
+    corpus.filter(F.col("repo").isin(half)).write.mode("append").parquet(landing)
+    stats1 = stream_kg_available_now(spark, landing, fx.anchors, out, ckpt)
+    assert sum(s["repos_extracted"] for s in stats1) == len(half)
+
+    # wave 2 lands, drain again (stream checkpoint skips wave-1 files)
+    corpus.filter(~F.col("repo").isin(half)).write.mode("append").parquet(landing)
+    stats2 = stream_kg_available_now(spark, landing, fx.anchors, out, ckpt)
+    assert sum(s["repos_extracted"] for s in stats2) == len(repos) - len(half)
+
+    # replay simulation: drain once more -> nothing new, triples unchanged
+    stats3 = stream_kg_available_now(spark, landing, fx.anchors, out, ckpt)
+    assert sum(s["repos_extracted"] for s in stats3) == 0
+
+    from nerzo_spark.pipeline.incremental import run_incremental
+
+    batch_out = str(tmp_path / "kg_batch")
+    run_incremental(spark, corpus, fx.anchors, batch_out)
+    streamed = spark.read.parquet(out + "/triples").select("subj", "pred", "obj")
+    batch = spark.read.parquet(batch_out + "/triples").select("subj", "pred", "obj")
+    assert streamed.count() == batch.count()
+    assert streamed.exceptAll(batch).count() == 0
