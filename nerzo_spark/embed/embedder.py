@@ -141,23 +141,33 @@ def _accumulate(feats: list[tuple[str, float]]) -> np.ndarray:
 from functools import lru_cache
 
 
+def _frozen(v: np.ndarray) -> np.ndarray:
+    # cached arrays are shared across callers — make them read-only so a
+    # caller mutating a "fresh" embedding can't corrupt the cache
+    v.setflags(write=False)
+    return v
+
+
 @lru_cache(maxsize=262_144)
 def _end_vec(surface: str, right3: str) -> np.ndarray:
-    return _accumulate(surface_features(surface, right3))
+    return _frozen(_accumulate(surface_features(surface, right3)))
 
 
 @lru_cache(maxsize=262_144)
 def _start_vec(left16: str) -> np.ndarray:
-    return _accumulate(left_features(left16))
+    return _frozen(_accumulate(left_features(left16)))
 
 
-@lru_cache(maxsize=262_144)
+# the pair-level cache only saves a concat+renorm over the component caches,
+# so it is sized 8x smaller (~32 MB/worker of 1 KB entries worst-case vs the
+# multi-GB fleet-wide worst case a 262k cap would allow)
+@lru_cache(maxsize=32_768)
 def _pair_vec(left16: str, surface: str, right3: str) -> np.ndarray:
     start = _start_vec(left16)
     end = _end_vec(surface, right3)
     pair = np.concatenate([start, end])
     n = np.linalg.norm(pair)
-    return (pair / n if n > 0 else pair).astype(np.float32)
+    return _frozen((pair / n if n > 0 else pair).astype(np.float32))
 
 
 def embed_span(surface: str, left_ctx: str, right_ctx: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

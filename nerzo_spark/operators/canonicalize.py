@@ -241,6 +241,7 @@ def canonical_overrides(
         .localCheckpoint()
     )
 
+    changed = 0  # defined even when max_iter == 0 (loop body never runs)
     for it in range(max_iter):
         bucket_min = (
             edges.hint("shuffle_hash")

@@ -91,10 +91,19 @@ def minhash_lsh_pairs(
         .agg(F.count("*").alias("i"))
     )
     jac = F.col("i") * 1.0 / (F.col("na.n") + F.col("nb.n") - F.col("i"))
-    return (
+    out = (
         inter.join(sizes.alias("na"), F.col("na.doc_id") == F.col("id_a"))
         .join(sizes.alias("nb"), F.col("nb.doc_id") == F.col("id_b"))
         .withColumn("jaccard", F.round(jac, 6))
-        .filter(jac >= threshold)
+        # filter on the SAME rounded expression that is returned, so no
+        # emitted row can display a jaccard below the threshold
+        .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    # the pair table is tiny (verified near-dups); materialize it eagerly so
+    # the two intermediate caches can be released NOW instead of leaking
+    # executor memory for the rest of the session
+    out = out.localCheckpoint(eager=True)
+    bands.unpersist()
+    sh.unpersist()
+    return out

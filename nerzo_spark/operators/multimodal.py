@@ -62,19 +62,27 @@ def _fake_decode(payload: bytes) -> np.ndarray:
     return rng.reshape(16, 16)
 
 
-def extract_features(assets: DataFrame) -> DataFrame:
+def extract_features(assets: DataFrame, decoder=None) -> DataFrame:
     """(asset_id, kind, payload, meta) -> (asset_id, kind, features).
 
     Feature extractor over the decoded representation; Arrow-batched, one
     numpy pass per batch.  The embedding column is ``array<float>`` so the
     similarity-search operators (plans/catalog_vec.py) apply unchanged.
+
+    ``decoder`` is the codec seam: any picklable ``bytes -> 2-D ndarray``
+    callable (a real ``PIL.Image.open`` wrapper in production) drops in
+    here without touching call sites — the contract is locked by
+    tests/test_multimodal.py::test_codec_contract_injected_decoder.
+    Defaults to the deterministic ``_fake_decode`` stub (no media libs in
+    this container).
     """
+    decoder = decoder or _fake_decode
 
     def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
             for payload in pdf["payload"]:
-                px = _fake_decode(bytes(payload)).astype(np.float64)
+                px = decoder(bytes(payload)).astype(np.float64)
                 # deterministic pooled stats -> FEATURE_DIM vector
                 v = np.concatenate([
                     px.mean(axis=0), px.mean(axis=1),

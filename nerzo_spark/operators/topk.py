@@ -104,6 +104,15 @@ def knn_self_join(
     Determinism: ties broken by neighbor_id ascending (within a chunk via
     stable argsort over id-sorted rows; across chunks via the final window
     ORDER BY score DESC, neighbor_id ASC).
+
+    Scale boundary (do NOT "fix" this into the hot path): each chunk is
+    relayed through the driver once, so total driver traffic is O(n) and
+    chunks are collected serially.  That is acceptable for an exact-kNN
+    *evaluation* operator — exact kNN is O(n²) compute by definition, so the
+    relay is never the asymptotic bottleneck — but corpus-scale similarity
+    search must go through the candidate-generating paths instead:
+    ``ann_lsh_bucketed`` (plans/catalog_vec.py) or the IVF probe
+    (plans/catalog_ivf.py), which never move vectors through the driver.
     """
     from pyspark.sql import Window
     from pyspark.sql import functions as F
@@ -157,8 +166,18 @@ def knn_self_join(
 
     parts = []
     for c in range(n_chunks):
-        chunk_df = src if n_chunks == 1 else src.filter(F.col(id_col) % n_chunks == c)
+        # chunk by pmod(hash(id)): robust to negative ids (Spark's % keeps
+        # the dividend sign, so `id % B == c` would silently drop them) and
+        # to arithmetically-patterned ids (all multiples of B would collapse
+        # into one chunk, restoring the unbounded collect blocking prevents)
+        chunk_df = (
+            src
+            if n_chunks == 1
+            else src.filter(F.pmod(F.hash(F.col(id_col)), F.lit(n_chunks)) == c)
+        )
         rows = chunk_df.collect()
+        if not rows:
+            continue
         rows.sort(key=lambda r: r[id_col])
         ids = np.array([r[id_col] for r in rows])
         mat = np.stack([np.asarray(r[emb_col], dtype=np.float64) for r in rows])
@@ -169,6 +188,8 @@ def knn_self_join(
         # +1 headroom for the self row masked to -inf
         parts.append(src.mapInPandas(_scorer(bc, min(k + 1, len(rows))), schema=out_schema))
 
+    if not parts:  # empty input: zero-row result with the declared schema
+        return vectors.sparkSession.createDataFrame([], out_schema)
     union = parts[0]
     for p in parts[1:]:
         union = union.unionByName(p)

@@ -78,7 +78,8 @@ def build_label_catalog(anchor_rows: list[dict]) -> list[dict]:
 
 
 def build_triples(
-    typed: DataFrame, overrides: DataFrame, catalog: list[dict]
+    typed: DataFrame, overrides: DataFrame, catalog: list[dict],
+    surfaces: DataFrame | None = None,
 ) -> DataFrame:
     """(typed mentions, canonical overrides) -> (subj, pred, obj, provenance).
 
@@ -89,6 +90,11 @@ def build_triples(
     distinct-surface-sized entity table never shuffles against mentions.
     Only ``links_to`` (no dedup) and ``defined_in`` (one dedup shuffle) are
     mention-scale; ``typed_as``/``subtype_of`` are entity-scale.
+
+    ``surfaces``: optional pre-computed DISTINCT (fine_type, surface) table
+    (run_kg_pipeline shares one across overrides/entities/triples).  With it,
+    the ``typed_as`` entity set is derived at SURFACE scale — without it the
+    fallback distincts the mention-scale table (one more mention shuffle).
     """
     from nerzo_spark.functions.hashing import ent_id
     from nerzo_spark.operators.canonicalize import canonical_expr
@@ -115,8 +121,19 @@ def build_triples(
             canonical_expr(F.col("fine_type"), F.col("surface"), F.col("canonical")),
         ),
     )
+    ent_source = surfaces if surfaces is not None else typed.select("fine_type", "surface")
     ent_typed = (
-        typed_e.select("entity_id", "fine_type").distinct().join(label_map, "fine_type")
+        ent_source.join(F.broadcast(overrides), ["fine_type", "surface"], "left")
+        .select(
+            "fine_type",
+            ent_id(
+                F.col("fine_type"),
+                canonical_expr(F.col("fine_type"), F.col("surface"), F.col("canonical")),
+            ).alias("entity_id"),
+        )
+        .select("entity_id", "fine_type")
+        .distinct()
+        .join(label_map, "fine_type")
     )
     prov = F.concat_ws("", F.col("repo"), F.lit("/"), F.col("path"), F.lit("@"), F.col("commit"))
 
@@ -183,12 +200,17 @@ def run_kg_pipeline(
     )
     from nerzo_spark.functions.hashing import ent_id as _ent_id
 
+    # ONE mention-scale distinct for the whole back half: overrides,
+    # entities and the typed_as branch all consume the same distinct
+    # (fine_type, surface) table (surface-scale, orders of magnitude smaller
+    # than mentions).  Before round 3 each consumer re-distincted the
+    # mention-scale table — two extra mention shuffles per run.
+    surfaces = typed.select("fine_type", "surface").distinct().localCheckpoint()
     overrides = canonical_overrides(
-        typed.select("fine_type", "surface")
+        surfaces
     ).localCheckpoint()  # broadcast-sized; reused by entities + triples
     entities = (
-        typed.select("fine_type", "surface")
-        .distinct()
+        surfaces
         .join(F.broadcast(overrides), ["fine_type", "surface"], "left")
         .select(
             "fine_type",
@@ -197,7 +219,7 @@ def run_kg_pipeline(
         )
         .withColumn("entity_id", _ent_id(F.col("fine_type"), F.col("canonical")))
     )
-    triples = build_triples(typed, overrides, catalog)
+    triples = build_triples(typed, overrides, catalog, surfaces=surfaces)
 
     wall_ms = (time.time() - t0) * 1000.0
     lineage = (

@@ -87,19 +87,32 @@ def p3_in_list_filter(spark, sf_dir):
 
 @register(
     "p4_bool_conjunction",
-    """SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_discount,
+              nullif(l_tax, 0.0) IS NOT NULL AS has_tax
        FROM lineitem
        WHERE l_quantity > 40 AND l_discount BETWEEN 0.05 AND 0.07
-         AND l_returnflag = 'R'""",
+         AND l_returnflag = 'R' AND l_tax IS NOT NULL""",
 )
 def p4_bool_conjunction(spark, sf_dir):
-    """P4 — bool.filter AND of predicates, non-scoring (queries.py:78-95)."""
+    """P4 — bool.filter AND of predicates, non-scoring (queries.py:78-95);
+    P6 — first-class `exists` / IS NOT NULL predicate
+    (fewnerd_retrieve_eval.py:96-103 filters on field existence): as a
+    pushed filter conjunct AND as a hash-checked varying output column —
+    ``nullif(l_tax, 0)`` models an optional field absent when zero, so
+    ``has_tax`` exercises real null semantics row-by-row."""
     li = T(spark, sf_dir, "lineitem")
     return li.filter(
         (F.col("l_quantity") > 40)
         & F.col("l_discount").between(0.05, 0.07)
         & (F.col("l_returnflag") == "R")
-    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+        & F.col("l_tax").isNotNull()
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_discount",
+        F.nullif(F.col("l_tax"), F.lit(0.0)).isNotNull().alias("has_tax"),
+    )
 
 
 @register(

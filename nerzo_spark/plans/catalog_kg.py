@@ -36,14 +36,16 @@ def _fixture():
     return generate(n_files=120)
 
 
-_run_cache: dict[int, object] = {}
+_run_cache: dict[str, object] = {}
 
 
 def _run(spark):
     """One pipeline execution per SparkSession: the 4 kg_* driver queries
     share the same KGResult (persisted mentions), so the driver pays the
-    extract+link stage once, not four times."""
-    key = id(spark)
+    extract+link stage once, not four times.  Keyed by applicationId, not
+    id(spark): a dead session's id() can be recycled by the allocator in a
+    long-lived process and would serve stale results."""
+    key = spark.sparkContext.applicationId
     if key not in _run_cache:
         from nerzo_spark.fixtures.spark_io import anchors_df, corpus_df
         from nerzo_spark.pipeline.kg import run_kg_pipeline

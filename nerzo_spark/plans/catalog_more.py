@@ -178,6 +178,9 @@ def e5_accuracy_curve(spark, sf_dir):
     )
 
 
+NEARDUP_LABEL_CAP = 50_000
+
+
 @register(
     "dedup_embedding_neardup",
     f"""SELECT a.vec_id AS id_a, b.vec_id AS id_b
@@ -187,15 +190,34 @@ def e5_accuracy_curve(spark, sf_dir):
 )
 def dedup_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs within a label partition (the
-    embedding face of the dedup family).  Scale: candidate pairs bounded by
-    the label partition (equi-join key), never a global cross join; the
-    LSH-bucketed variant (ann_lsh_bucketed) is the unpartitioned-data path."""
-    e = T(spark, sf_dir, "embeddings")
+    embedding face of the dedup family).  Candidate pairs are bounded by
+    the label partition (equi-join key), never a global cross join — but
+    the join is still QUADRATIC in the partition, so this is the
+    labeled-eval-table form only.  Guard: the largest label partition is
+    checked against NEARDUP_LABEL_CAP and the query fails loudly past it
+    (pointing to ann_lsh_bucketed, the corpus-scale candidate generator)
+    instead of quietly going quadratic at 100 TB."""
+    return embedding_neardup_pairs(T(spark, sf_dir, "embeddings"))
+
+
+def embedding_neardup_pairs(e, threshold: float = 0.4, label_cap: int = NEARDUP_LABEL_CAP):
+    """All-pairs cosine >= threshold within label partitions, guarded by
+    label_cap on the largest partition (see dedup_embedding_neardup)."""
+    biggest = (
+        e.groupBy("label").agg(F.count("*").alias("n")).agg(F.max("n")).first()[0]
+    )
+    if biggest is not None and biggest > label_cap:
+        raise ValueError(
+            f"dedup_embedding_neardup: largest label partition has {biggest} "
+            f"rows (> cap {label_cap}); the all-pairs join would emit "
+            f"~{biggest}^2/2 rows for it. Use ann_lsh_bucketed "
+            f"(plans/catalog_vec.py) for corpus-scale near-dup instead."
+        )
     a, b = e.alias("a"), e.alias("b")
     return (
         a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
         .withColumn("cos", F.expr(_COS_SPARK.format(a="a.embedding", b="b.embedding")))
-        .filter(F.col("cos") >= 0.4)
+        .filter(F.col("cos") >= threshold)
         .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
     )
 

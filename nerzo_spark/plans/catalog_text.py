@@ -336,7 +336,7 @@ def dedup_minhash_signatures(spark, sf_dir):
                round(i.i * 1.0 / (na.n + nb.n - i.i), 6) AS jaccard
         FROM inter i JOIN sizes na ON na.doc_id = i.id_a
                      JOIN sizes nb ON nb.doc_id = i.id_b
-        WHERE i.i * 1.0 / (na.n + nb.n - i.i) >= 0.5""",
+        WHERE round(i.i * 1.0 / (na.n + nb.n - i.i), 6) >= 0.5""",
 )
 def dedup_minhash_lsh_pairs(spark, sf_dir):
     """MinHash-LSH near-dup pairs: band -> bucket-join candidates -> exact
@@ -393,11 +393,19 @@ def dedup_simhash16(spark, sf_dir):
     )
 
 
+NGRAM_DF_CAP = 64
+
+
 @register(
     "ngram_jaccard_top_pairs",
-    f"""WITH sh AS (
+    f"""WITH sh0 AS (
           SELECT doc_id, source, unnest(list_distinct({_SHINGLE_DUCK})) AS s
           FROM documents),
+        sdf AS (SELECT s, source, count(*) AS df FROM sh0 GROUP BY s, source),
+        sh AS (
+          SELECT sh0.doc_id, sh0.source, sh0.s FROM sh0
+          JOIN sdf ON sdf.s = sh0.s AND sdf.source = sh0.source
+          WHERE sdf.df <= {NGRAM_DF_CAP}),
         sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
         inter AS (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
@@ -410,13 +418,35 @@ def dedup_simhash16(spark, sf_dir):
 )
 def ngram_jaccard_top_pairs(spark, sf_dir):
     """n-gram Jaccard near-dup: top-20 most similar doc pairs within a
-    source partition.  Jaccard is an integer ratio -> bit-exact across
-    engines; ties broken by ids.  Scale: the shingle equi-join is bounded by
-    the source partition (co-partitioned), never a global cross join."""
+    source partition, over stop-shingle-filtered shingle sets.
+
+    Scale: the shingle equi-join is bounded by the source partition, but a
+    BOILERPLATE shingle (license header / template text) shared by M docs of
+    one source would still emit M^2 intermediate rows — real output volume,
+    not partition imbalance, so no AQE split can fix it.  Guard: drop
+    shingles with per-source document frequency > NGRAM_DF_CAP before the
+    join (same posture as the LSH band cap, operators/dedup.py) and log the
+    drop.  Jaccard is then computed over the KEPT (informative) shingles on
+    both sides — numerator and denominator — which is standard stop-feature
+    removal; the DuckDB oracle mirrors the identical cap so results stay
+    bit-exact.  Ties broken by ids."""
     d = T(spark, sf_dir, "documents")
-    sh = d.select(
+    return _ngram_jaccard_pairs(d, df_cap=NGRAM_DF_CAP)
+
+
+def _ngram_jaccard_pairs(d, df_cap: int = NGRAM_DF_CAP, logger=print):
+    sh0 = d.select(
         "doc_id", "source", F.explode(F.array_distinct(F.expr(_SHINGLE_SPARK))).alias("s")
     )
+    sdf = sh0.groupBy("s", "source").agg(F.count("*").alias("df"))
+    n_dropped = sdf.filter(F.col("df") > df_cap).count()
+    if n_dropped > 0 and logger is not None:
+        logger(
+            f"[ngram_jaccard_top_pairs] skew guard: dropped {n_dropped} "
+            f"shingle(s) with per-source document frequency > {df_cap} "
+            f"(boilerplate text; Jaccard computed over kept shingles)"
+        )
+    sh = sh0.join(sdf.filter(F.col("df") <= df_cap).select("s", "source"), ["s", "source"])
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         sh.alias("a")

@@ -50,24 +50,37 @@ def upsert_by_key(
     UPDATE * WHEN NOT MATCHED THEN INSERT *`` (Iceberg).  Sandbox emulation:
     anti-join existing + union + atomic-ish overwrite; incoming rows win.
     """
+    import shutil
+
+    tmp = path + ".tmp"
+    old = path + ".old"
+    # crash recovery: a previous run may have died mid-swap.  If the live
+    # path is missing but .old exists, the crash happened between
+    # rename(path -> old) and rename(tmp -> path): restore .old as the live
+    # table so prior data is never silently dropped.  Any surviving .old
+    # alongside a live path is a fully superseded copy — remove it so the
+    # rename below can't fail on an existing dir.  .tmp is always stale.
+    if os.path.exists(old) and not os.path.exists(path):
+        os.rename(old, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
     if os.path.exists(path):
         existing = spark.read.parquet(path)
         keep = existing.join(incoming.select(key).distinct(), key, "left_anti")
         merged = keep.unionByName(incoming.dropDuplicates([key]))
     else:
         merged = incoming.dropDuplicates([key])
-    # write to tmp, then RENAME over the live path: the swap is a metadata
-    # op, so a crash leaves either the old table or the new one — never a
-    # half-written live dir (Iceberg gives this via snapshot commit; parquet
-    # emulation uses the posix rename)
-    tmp = path + ".tmp"
+    # write to tmp, then swap: each rename is a metadata op, and the
+    # recovery preamble above makes the sequence crash-safe at every point —
+    # a crash leaves the old table (possibly parked at .old) or the new one,
+    # never nothing (Iceberg gives this via snapshot commit; parquet
+    # emulation uses posix renames + the .old recovery rule)
     merged.write.mode("overwrite").parquet(tmp)
-    old = path + ".old"
     if os.path.exists(path):
         os.rename(path, old)
     os.rename(tmp, path)
     if os.path.exists(old):
-        import shutil
-
         shutil.rmtree(old)
     return spark.read.parquet(path)

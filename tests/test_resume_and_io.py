@@ -143,3 +143,77 @@ def test_iceberg_adapter_fallback(spark, tmp_path):
     pp = str(tmp_path / "ice_part")
     ice.write_overwrite_dynamic(df1.withColumn("part", df1.k % 2), "db.p", "part", pp)
     assert spark.read.parquet(pp).count() == 2
+
+
+def test_upsert_recovers_torn_swap(spark, tmp_path):
+    """Crash between rename(path -> .old) and rename(.tmp -> path) leaves no
+    live dir; the next upsert must restore .old (never rebuild from incoming
+    alone and then delete the only surviving copy of prior data)."""
+    import os
+
+    path = str(tmp_path / "tbl3")
+    upsert_by_key(spark, spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string"), path, "k")
+    # simulate the torn state
+    os.rename(path, path + ".old")
+    out = upsert_by_key(spark, spark.createDataFrame([(3, "c")], "k long, v string"), path, "k")
+    got = {(r["k"], r["v"]) for r in out.collect()}
+    assert got == {(1, "a"), (2, "b"), (3, "c")}
+    assert not os.path.exists(path + ".old") and not os.path.exists(path + ".tmp")
+
+
+def test_upsert_clears_stale_old_and_tmp(spark, tmp_path):
+    """A stale .old next to a live table (crash after the final rename) and
+    a stale .tmp must both be cleared, not crash the swap or leak."""
+    import os
+
+    path = str(tmp_path / "tbl4")
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    upsert_by_key(spark, df, path, "k")
+    os.makedirs(path + ".old/x")  # non-empty stale .old
+    os.makedirs(path + ".tmp")
+    out = upsert_by_key(spark, spark.createDataFrame([(2, "b")], "k long, v string"), path, "k")
+    assert {r["k"] for r in out.collect()} == {1, 2}
+    assert not os.path.exists(path + ".old") and not os.path.exists(path + ".tmp")
+
+
+def test_iceberg_production_statements(spark, monkeypatch, tmp_path):
+    """The Iceberg branches are dead code in this sandbox (no runtime jars);
+    lock the EXACT production statements they would issue by mocking
+    iceberg_available and capturing spark.sql / writeTo."""
+    from nerzo_spark.sources import iceberg as ice
+
+    monkeypatch.setattr(ice, "iceberg_available", lambda *a, **k: True)
+    issued = []
+    monkeypatch.setattr(spark, "sql", lambda q, *a, **k: issued.append(" ".join(q.split())))
+
+    ice.ensure_table(spark, "db.triples", "subj string, pred string", "pred", "/unused")
+    ice.add_column(spark, "db.docs", "emb", "array<float>", "/unused")
+    inc = spark.createDataFrame([(1, "a")], "k long, v string")
+    ice.upsert(spark, inc, "db.docs", "k", "/unused")
+    assert issued == [
+        "CREATE TABLE IF NOT EXISTS nerzo.db.triples (subj string, pred string) "
+        "USING iceberg PARTITIONED BY (pred)",
+        "ALTER TABLE nerzo.db.docs ADD COLUMN emb array<float>",
+        "MERGE INTO nerzo.db.docs t USING _nerzo_upsert_src s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *",
+    ]
+
+    class _W:  # records the writeTo(...).overwritePartitions() chain
+        def __init__(self, rec):
+            self.rec = rec
+
+        def overwritePartitions(self):
+            self.rec.append("overwritePartitions")
+
+    class _FakeDF:
+        def __init__(self, sess, rec):
+            self.sparkSession = sess
+            self.rec = rec
+
+        def writeTo(self, name):
+            self.rec.append(f"writeTo:{name}")
+            return _W(self.rec)
+
+    rec = []
+    ice.write_overwrite_dynamic(_FakeDF(spark, rec), "db.mentions", "repo", "/unused")
+    assert rec == ["writeTo:nerzo.db.mentions", "overwritePartitions"]

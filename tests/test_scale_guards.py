@@ -156,3 +156,83 @@ def test_token_offsets_substring_invariant(spark):
         F.col("t.token").alias("token"),
     )
     assert tok.filter(F.col("cut") != F.col("token")).count() == 0
+
+
+# --- n-gram Jaccard boilerplate-shingle guard ----------------------------------
+
+def test_ngram_boilerplate_shingle_capped(spark):
+    """100 docs of one source share a boilerplate license line: without the
+    DF cap the shingle self-join emits ~5k intermediate rows from that one
+    shingle.  With the cap the boilerplate shingles are dropped (and logged)
+    and only genuinely-similar docs pair."""
+    from nerzo_spark.plans.catalog_text import _ngram_jaccard_pairs
+
+    boiler = "licensed under the apache license version two point zero"
+    rows = [(i, f"{boiler} unique{i} token{i} word{i} item{i}", "src") for i in range(100)]
+    # two genuinely near-dup docs: shared NON-boilerplate shingles (DF=2)
+    rows += [
+        (1000, "alpha beta gamma delta epsilon zeta", "src"),
+        (1001, "alpha beta gamma delta epsilon eta", "src"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    logs = []
+    out = _ngram_jaccard_pairs(d, df_cap=8, logger=logs.append).collect()
+    assert logs and "skew guard" in logs[0]
+    pairs = {(r["id_a"], r["id_b"]) for r in out}
+    assert (1000, 1001) in pairs
+    # boilerplate-only docs share nothing after the cap: no pair among them
+    assert not any(a < 1000 and b < 1000 for a, b in pairs)
+
+
+def test_ngram_guard_noop_without_boilerplate(spark):
+    """Below the cap the guard changes nothing (and logs nothing)."""
+    from nerzo_spark.plans.catalog_text import _ngram_jaccard_pairs
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta", "src"),
+        (2, "alpha beta gamma delta epsilon eta", "src"),
+        (3, "totally different words here now", "src"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    logs = []
+    capped = _ngram_jaccard_pairs(d, df_cap=64, logger=logs.append).collect()
+    uncapped = _ngram_jaccard_pairs(d, df_cap=10**9, logger=None).collect()
+    assert logs == []
+    assert sorted(map(tuple, capped)) == sorted(map(tuple, uncapped))
+
+
+# --- embedding near-dup label-partition guard ----------------------------------
+
+def test_neardup_label_cap_raises(spark):
+    """An oversized label partition must fail loudly (pointing at the ANN
+    path), never quietly go quadratic."""
+    from nerzo_spark.plans.catalog_more import embedding_neardup_pairs
+
+    rows = [(i, [1.0, 0.0, 0.0, 0.0], 7) for i in range(30)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    with pytest.raises(ValueError, match="ann_lsh_bucketed"):
+        embedding_neardup_pairs(e, label_cap=10)
+    # within the cap it runs: all 30 are identical vectors -> 435 pairs
+    assert embedding_neardup_pairs(e, label_cap=50).count() == 30 * 29 // 2
+
+
+# --- blocked kNN id-robustness --------------------------------------------------
+
+def test_knn_blocked_handles_negative_and_patterned_ids(spark):
+    """Chunking is by pmod(hash(id)): negative ids must not vanish and
+    ids that are all multiples of n_chunks must not collapse into one
+    chunk.  Blocked result must equal the single-chunk exact path."""
+    from nerzo_spark.operators.topk import knn_self_join
+
+    rng = np.random.default_rng(7)
+    ids = [(-4 + 4 * i) for i in range(12)]  # negatives + all multiples of 4
+    rows = [(int(i), [float(x) for x in rng.normal(size=8)]) for i in ids]
+    v = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    blocked = knn_self_join(v, k=3, label_col=None, chunk_rows=3)
+    single = knn_self_join(v, k=3, label_col=None, chunk_rows=10**6)
+    b = sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in blocked.collect())
+    s = sorted((r["query_id"], r["rank"], r["neighbor_id"]) for r in single.collect())
+    assert b == s
+    assert len({q for q, _, _ in b}) == 12  # every query (incl. negatives) present
