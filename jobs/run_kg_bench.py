@@ -1,0 +1,91 @@
+"""spark-submit payload for the scaling benchmark (north rule: run via
+``spark-submit --py-files`` at N and 4N executors, same input, report
+throughput at both).
+
+Submitted against the standalone cluster (jobs/cluster.py) or local[C]; the
+master comes from spark-submit.  The corpus parquet must be pre-materialized
+(jobs/bench_cluster.py does it) — generation is never in the timed region.
+
+Prints ONE JSON line: cores, executors, per-stage seconds, triples, tps.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--corpus", required=True, help="pre-materialized parquet")
+    ap.add_argument("--files", type=int, required=True,
+                    help="fixture n_files the corpus was generated with "
+                         "(anchors must match, FIXTURES.md)")
+    ap.add_argument("--stage", default="full", choices=["full", "extract"])
+    ap.add_argument("--shuffle-partitions", type=int, default=32)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    # SAME plan at every cluster size (BENCH.md protocol v2): fixed scan
+    # splits, fixed shuffle partitions; only executor count varies.
+    builder = (
+        SparkSession.builder.appName("nerzo-kg-bench")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(args.shuffle_partitions))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
+        .config("spark.sql.files.maxPartitionBytes", "2m")
+        .config("spark.sql.files.openCostInBytes", "1m")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
+                "VECLIB_MAXIMUM_THREADS", "NUMEXPR_NUM_THREADS"):
+        builder = builder.config(f"spark.executorEnv.{var}", "1")
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from nerzo_spark.fixtures.corpus import anchor_rows_for
+    from nerzo_spark.pipeline.kg import build_label_catalog, run_kg_pipeline
+    from nerzo_spark.operators.extract_link import extract_and_link
+    from nerzo_spark.session import warm_python_workers
+
+    warm_python_workers(spark)
+    sc = spark.sparkContext
+    n_exec = max(1, len([e for e in sc._jsc.sc().statusTracker().getExecutorInfos()]) - 1)
+    corpus = spark.read.parquet(args.corpus)
+    anchors = anchor_rows_for(args.files)
+
+    stages: dict[str, float] = {}
+    t0 = time.time()
+    if args.stage == "extract":
+        catalog = build_label_catalog(anchors)
+        n = extract_and_link(corpus, catalog).count()
+        unit = "mentions"
+        stages["extract"] = round(time.time() - t0, 2)
+    else:
+        res = run_kg_pipeline(spark, corpus, anchors)
+        stages["extract_link_persist"] = round(time.time() - t0, 2)
+        t1 = time.time()
+        n = res.triples.count()
+        stages["triples_build_count"] = round(time.time() - t1, 2)
+        unit = "triples"
+    dt = time.time() - t0
+    print(json.dumps({
+        "master": sc.master, "executors": n_exec,
+        "cores": sc.defaultParallelism, "files": args.files,
+        "stage": args.stage, "sec": round(dt, 2), "stages": stages,
+        unit: n, "tps": round(n / dt, 1),
+    }))
+    sys.stdout.flush()
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -284,9 +284,17 @@ def j5_lookup_join(spark, sf_dir):
     )
 
 
+def _j3_oracle() -> str:
+    from nerzo_spark.operators.negatives import training_batches_duckdb
+
+    return training_batches_duckdb(
+        anchor_type="src0", n_batches=3, batch_size=5, hard_negative_ratio=0.4
+    )
+
+
 @register(
     "j4_token_overlap_score",
-    """WITH anchor AS (
+    f"""WITH anchor AS (
          SELECT DISTINCT unnest(string_split_regex(text, '\\s+')) AS tok
          FROM documents WHERE doc_id = 0),
        toks AS (
@@ -294,16 +302,29 @@ def j5_lookup_join(spark, sf_dir):
          FROM documents WHERE doc_id <> 0),
        overlap AS (
          SELECT t.doc_id, count(*) AS n_common
-         FROM toks t JOIN anchor a ON t.tok = a.tok GROUP BY t.doc_id)
-       SELECT o.doc_id,
-              o.n_common + (CASE WHEN d.lang = (SELECT lang FROM documents WHERE doc_id = 0)
-                                 THEN 5 ELSE 0 END) AS score
-       FROM overlap o JOIN documents d USING (doc_id)
-       ORDER BY score DESC, doc_id LIMIT 20""",
+         FROM toks t JOIN anchor a ON t.tok = a.tok GROUP BY t.doc_id),
+       j4_top AS (
+         SELECT 'mlt_topk' AS part, CAST(-1 AS BIGINT) AS batch_id,
+                CAST(NULL AS VARCHAR) AS role, o.doc_id,
+                CAST(NULL AS VARCHAR) AS source, CAST(-1 AS BIGINT) AS rnk,
+                CAST(o.n_common + (CASE WHEN d.lang = (SELECT lang FROM documents WHERE doc_id = 0)
+                                   THEN 5 ELSE 0 END) AS BIGINT) AS score
+         FROM overlap o JOIN documents d USING (doc_id)
+         ORDER BY score DESC, doc_id LIMIT 20)
+       SELECT * FROM j4_top
+       UNION ALL
+       SELECT 'batches' AS part, batch_id, role, doc_id, source, rnk, score
+       FROM ({_j3_oracle()}) j3""",
 )
 def j4_token_overlap_score(spark, sf_dir):
-    """J4 — hard-negative scoring: more_like_this token overlap + coarse-type
-    boost (queries.py:277-324).  Token-set semi-join cardinality + boost."""
+    """J4 + J3 merged slot (driver caps the catalog at 50 queries).
+
+    part='mlt_topk': J4 hard-negative scoring — more_like_this token overlap
+    + coarse-type boost (queries.py:277-324); token-set semi-join cardinality.
+    part='batches': J3 contrastive training batches — anchor/positive/mixed
+    hard+easy negatives (contrastive/fewnerd_processor.py:11-72), see
+    operators/negatives.py.  Sentinels (-1 / NULL) pad the non-applicable
+    columns of each part."""
     d = T(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", "lang", F.explode(F.array_distinct(F.split("text", r"\s+"))).alias("tok")
@@ -316,7 +337,7 @@ def j4_token_overlap_score(spark, sf_dir):
         .groupBy("doc_id", "lang")
         .agg(F.count("*").alias("n_common"))
     )
-    return (
+    j4_top = (
         overlap.crossJoin(F.broadcast(anchor_lang))
         .withColumn(
             "score",
@@ -324,8 +345,25 @@ def j4_token_overlap_score(spark, sf_dir):
         )
         .orderBy(F.desc("score"), "doc_id")
         .limit(20)
-        .select("doc_id", "score")
+        .select(
+            F.lit("mlt_topk").alias("part"),
+            F.lit(-1).cast("bigint").alias("batch_id"),
+            F.lit(None).cast("string").alias("role"),
+            "doc_id",
+            F.lit(None).cast("string").alias("source"),
+            F.lit(-1).cast("bigint").alias("rnk"),
+            F.col("score").cast("bigint"),
+        )
     )
+    from nerzo_spark.operators.negatives import training_batches
+
+    j3 = training_batches(
+        d, anchor_type="src0", n_batches=3, batch_size=5, hard_negative_ratio=0.4
+    ).select(
+        F.lit("batches").alias("part"),
+        "batch_id", "role", "doc_id", "source", "rnk", "score",
+    )
+    return j4_top.unionByName(j3)
 
 
 # =========================================================================
