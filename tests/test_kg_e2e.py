@@ -69,3 +69,31 @@ def test_canonical_variant_chain(spark, fixture_small, kg_result):
     for chain in chains:
         ids = {ents[("function", s)] for s in chain if ("function", s) in ents}
         assert len(ids) == 1, f"chain {chain} did not canonicalize: {ids}"
+
+
+def test_file_local_dedup_equals_shuffle_dedup(spark, fixture_small, kg_result):
+    """The no-shuffle partition-local defined_in dedup (file_local_dedup=True,
+    the run_kg_pipeline hot path) must emit EXACTLY the rows of the shuffle
+    dropDuplicates — including surface variants that canonicalize into one
+    entity within a single file (the case a naive first-occurrence flag at
+    extraction would over-count)."""
+    from nerzo_spark.operators.canonicalize import canonical_overrides
+    from nerzo_spark.pipeline.kg import build_label_catalog, build_triples
+
+    typed = kg_result.mentions  # narrow chain from extraction (persisted)
+    surfaces = typed.select("fine_type", "surface").distinct()
+    overrides = canonical_overrides(surfaces).localCheckpoint()
+    catalog = kg_result.label_catalog
+
+    local = build_triples(
+        typed, overrides, catalog, surfaces=surfaces, file_local_dedup=True
+    ).filter(F.col("pred") == "defined_in")
+    shuffled = build_triples(
+        typed, overrides, catalog, surfaces=surfaces, file_local_dedup=False
+    ).filter(F.col("pred") == "defined_in")
+    l_rows = sorted(map(tuple, local.collect()))
+    s_rows = sorted(map(tuple, shuffled.collect()))
+    assert l_rows == s_rows
+    # the repartition(8) fixture spread + megarepo skew means multiple
+    # batches/partitions were exercised, not a single-partition trivial pass
+    assert len(l_rows) > 0
