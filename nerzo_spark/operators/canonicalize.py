@@ -147,6 +147,7 @@ def canonical_overrides(
     max_iter: int = 12,
     loop_partitions: int = 32,
     driver_limit: int = 500_000,
+    already_distinct: bool = False,
 ) -> DataFrame:
     """The MINIMAL canonicalization mapping: (fine_type, surface, canonical)
     ONLY for surfaces whose cluster canonical differs from their own
@@ -156,7 +157,12 @@ def canonical_overrides(
     (measured: forcing the full entity table through a mention-scale join
     cost +20s at 800k files)."""
     spark = typed_surfaces.sparkSession
-    distinct_surfaces = typed_surfaces.select("fine_type", "surface").distinct()
+    # ``already_distinct``: callers holding a pre-distincted (fine_type,
+    # surface) table (run_kg_pipeline shares one localCheckpointed copy)
+    # skip a redundant surface-scale shuffle here.
+    distinct_surfaces = typed_surfaces.select("fine_type", "surface")
+    if not already_distinct:
+        distinct_surfaces = distinct_surfaces.distinct()
 
     # Normalization keys are ALWAYS computed distributed (Spark regex
     # exprs): running norm_key() on the driver over the distinct-surface set

@@ -192,10 +192,21 @@ def build_triples(
         F.col("entity_id").alias("subj"), F.lit("typed_as").alias("pred"),
         F.col("label_id").alias("obj"), *null_prov,
     )
-    t_subtype = ent_typed.select(
-        F.col("fine_type").alias("subj"), F.lit("subtype_of").alias("pred"),
-        F.col("coarse_type").alias("obj"), *null_prov,
-    ).distinct()
+    # every surface yields an entity of its own fine type, so the fine types
+    # present among entities == fine types present among surfaces: derive
+    # subtype_of from the SOURCE table's tiny fine_type distinct (partial
+    # agg collapses to |types| rows map-side) instead of re-running the
+    # whole entity chain (join+distinct over the entity table) for ~8 rows
+    t_subtype = (
+        ent_source.select("fine_type")
+        .distinct()
+        .join(label_map, "fine_type")
+        .select(
+            F.col("fine_type").alias("subj"), F.lit("subtype_of").alias("pred"),
+            F.col("coarse_type").alias("obj"), *null_prov,
+        )
+        .distinct()
+    )
 
     return t_links.unionByName(t_typed).unionByName(t_defined).unionByName(t_subtype)
 
@@ -243,7 +254,7 @@ def run_kg_pipeline(
     # mention-scale table — two extra mention shuffles per run.
     surfaces = typed.select("fine_type", "surface").distinct().localCheckpoint()
     overrides = canonical_overrides(
-        surfaces
+        surfaces, already_distinct=True
     ).localCheckpoint()  # broadcast-sized; reused by entities + triples
     entities = (
         surfaces
