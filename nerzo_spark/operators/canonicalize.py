@@ -287,9 +287,15 @@ def canonical_overrides(
                 f"raise max_iter (cluster diameter exceeds it)"
             )
 
-    # hot nodes whose propagated label differs from their own k1
+    # hot nodes whose propagated label differs from their own k1.
+    # localCheckpoint HERE (not in callers): Path 1 returns a driver-local
+    # Arrow DataFrame that is free to re-execute per consumer, but this
+    # Path-3 plan is a join over loop state — checkpoint once so the 4+
+    # downstream consumers don't each re-run it (and so callers never need
+    # their own blanket checkpoint, which for Path 1 was a wasted job).
     return (
         hot.join(labels, "node_id")
         .filter(F.col("label") != F.col("k1"))
         .select("fine_type", "surface", F.col("label").alias("canonical"))
+        .localCheckpoint()
     )

@@ -252,10 +252,19 @@ def run_kg_pipeline(
     # (fine_type, surface) table (surface-scale, orders of magnitude smaller
     # than mentions).  Before round 3 each consumer re-distincted the
     # mention-scale table — two extra mention shuffles per run.
-    surfaces = typed.select("fine_type", "surface").distinct().localCheckpoint()
-    overrides = canonical_overrides(
-        surfaces, already_distinct=True
-    ).localCheckpoint()  # broadcast-sized; reused by entities + triples
+    # persist (lazy), not localCheckpoint (eager): the first consumer
+    # (canonical_overrides' bucket window) materializes the distinct as part
+    # of its own job instead of a separate serialized job beforehand —
+    # one less sequential stage round-trip, a pure constant cost that every
+    # core count pays equally and that therefore caps scaling efficiency
+    surfaces = (
+        typed.select("fine_type", "surface")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # broadcast-sized; Path 1 returns a driver-local Arrow frame and Path 3
+    # self-checkpoints, so no eager materialization is needed here
+    overrides = canonical_overrides(surfaces, already_distinct=True)
     entities = (
         surfaces
         .join(F.broadcast(overrides), ["fine_type", "surface"], "left")
