@@ -52,12 +52,18 @@ def main() -> None:
     sf_label = os.path.basename(args.sf_dir.rstrip("/")).replace("sf", "")
     qs = catalog.queries()
     times: dict[str, float] = {}
+    # run conditions per query window (VERDICT r3 #6): this shared host's
+    # neighbor load varies identical runs 2-4x — recording start/end 1-min
+    # loadavg lets the next round tell code from weather without re-deriving
+    load: dict[str, list[float]] = {}
 
     def timed(name: str, fn) -> float:
+        la0 = os.getloadavg()[0]
         t0 = time.time()
         fn()
         dt = time.time() - t0
         times[name] = round(dt, 3)
+        load[name] = [round(la0, 2), round(os.getloadavg()[0], 2)]
         return dt
 
     # KG pipeline (north star): triples/sec over the fixture corpus.
@@ -110,6 +116,7 @@ def main() -> None:
                 "cores": args.cores,
                 "kg_triples": n_triples.get("n", 0),
                 "kg_triples_per_sec": kg_thr,
+                "loadavg_1m_start_end": load,
             }
         )
     )

@@ -192,16 +192,24 @@ def canonical_overrides(
         ).alias("bucket"),
     )
 
-    # singleton short-circuit in ONE bucket-keyed shuffle: only nodes
-    # sharing a bucket can merge; a count window keeps multi-member buckets
-    from pyspark.sql import Window
-
-    hot_edges = (
-        all_edges.withColumn("bn", F.count("*").over(Window.partitionBy("bucket")))
+    # singleton short-circuit: only nodes sharing a bucket can merge.
+    # Round 3 used count() OVER (PARTITION BY bucket) — a full sort-window
+    # shuffle of ALL edge rows (2x distinct surfaces).  Measured at 1.6M
+    # files on the 4-executor rig it ANTI-scaled (5.9 s at 1 exec -> 18.9 s
+    # at 4: the cross-executor shuffle+sort of ~1.7M rows swamped the
+    # compute).  v4: a hash aggregate with MAP-SIDE partial counts (only
+    # (bucket, partial-count) pairs cross executors) finds the collision
+    # buckets — a table bounded by the HOT subgraph, small by construction
+    # (the whole design rests on collisions being rare; Path 3 exists for
+    # the rest) — and a broadcast semi-join keeps multi-member buckets
+    # without ever shuffling or sorting the edge rows.
+    collision_buckets = (
+        all_edges.groupBy("bucket")
+        .agg(F.count("*").alias("bn"))
         .filter(F.col("bn") > 1)
-        .drop("bn")
-        .localCheckpoint()  # tiny (collision buckets only); reused below
+        .select("bucket")
     )
+    hot_edges = all_edges.join(F.broadcast(collision_buckets), "bucket")
     hot = hot_edges.select(
         "node_id", "fine_type", "surface", "k1", "k2"
     ).dropDuplicates(["node_id"])
@@ -239,7 +247,14 @@ def canonical_overrides(
 
     # Path 3: distributed min-label propagation over the hot subgraph
     # (singleton buckets dropped above contribute only a node's own label
-    # to the bucket-min — removing them cannot change any fixpoint label)
+    # to the bucket-min — removing them cannot change any fixpoint label).
+    # Checkpoint HERE (not for Path 1, whose single collect needs no reuse):
+    # the loop reads `edges` every iteration and must not re-run the
+    # collision-bucket aggregation each round.
+    hot_edges = hot_edges.localCheckpoint()
+    hot = hot_edges.select(
+        "node_id", "fine_type", "surface", "k1", "k2"
+    ).dropDuplicates(["node_id"])
     edges = hot_edges.select("node_id", "bucket")
     labels = (
         hot.repartition(loop_partitions, "node_id")

@@ -29,9 +29,17 @@ into every arm; candidate pools are touched once each:
 - hard: anchor tokens (tiny, broadcast) joined against the candidate token
   table, partial-aggregated map-side by (batch_id, id) — never an
   all-pairs join;
-- at 10^12-file scale, pre-thin each pool with a seeded md5 threshold
-  (``seeded_unit(id) < p``) BEFORE ranking so the per-batch window sees a
-  bounded sample; the ranking logic is unchanged.
+- the anchor pick is ``orderBy(seeded_key).limit(n_batches)`` —
+  TakeOrderedAndProject (per-partition partial top-k, driver merge of
+  ``n_batches`` rows), NOT a single-partition global-sort window; the only
+  windows in the plan are per-``batch_id`` (bounded fan-out).
+- at 10^12-file scale, ENFORCE a bounded candidate pool before the
+  crossJoin fan-out: ``pool_fraction`` applies the repo-wide seeded md5
+  threshold (``seeded_unit(id) < p``, map-side filter, zero extra
+  shuffles), ``pool_cap`` applies a seeded-order hard cap
+  (TakeOrderedAndProject).  Both are the same seeded-order family as the
+  ranking itself, deterministic, partitioning-invariant, and mirrored in
+  the DuckDB oracle; the ranking logic downstream is unchanged.
 """
 
 from __future__ import annotations
@@ -41,7 +49,7 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from nerzo_spark.functions.hashing import DEFAULT_SEED
+from nerzo_spark.functions.hashing import DEFAULT_SEED, seeded_unit, seeded_unit_duckdb
 
 
 def _order_key(id_col: Column, *tags: Column | str) -> Column:
@@ -60,6 +68,8 @@ def training_batches(
     n_batches: int,
     batch_size: int,
     hard_negative_ratio: float = 0.0,
+    pool_fraction: float | None = None,
+    pool_cap: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     fine_col: str = "source",
@@ -74,6 +84,13 @@ def training_batches(
     (token overlap + 5 x same-coarse boost), -1 for other roles (a numeric
     NULL would round-trip as NaN through Arrow/pandas and break the
     engine-agnostic value comparison).
+
+    ``pool_fraction`` / ``pool_cap`` bound the candidate pools BEFORE any
+    ranking or crossJoin (module docstring, "Scale shape") — at corpus
+    scale pass one of them so the pool x ``n_batches`` fan-out is bounded.
+    With a thinned pool the batches are a seeded sample of the full-pool
+    batches (same seeded-order family as the ranking); arms simply yield
+    fewer rows if a thinned pool has fewer than ``batch_size`` candidates.
     """
     if n_batches < 1 or batch_size < 1:
         raise ValueError("n_batches and batch_size must be >= 1")
@@ -84,17 +101,33 @@ def training_batches(
 
     _id, _fine, _coarse = F.col(id_col), F.col(fine_col), F.col(coarse_col)
     docs = docs.select(id_col, text_col, fine_col, coarse_col)
+    if pool_fraction is not None:
+        # map-side seeded thin: no shuffle, bounds every arm downstream
+        docs = docs.filter(seeded_unit(_id, seed) < pool_fraction)
     pool_a = docs.filter(_fine == anchor_type)
     pool_n = docs.filter(_fine != anchor_type)
+    if pool_cap is not None:
+        # seeded-order hard cap: TakeOrderedAndProject (partial top-k per
+        # partition, driver merge of pool_cap rows), never a global sort
+        pool_a = pool_a.orderBy(_order_key(_id, "pool", "a", str(seed)), _id).limit(pool_cap)
+        pool_n = pool_n.orderBy(_order_key(_id, "pool", "n", str(seed)), _id).limit(pool_cap)
 
-    # anchors: one seeded pick per batch.  Global window over ONE fine
-    # type's pool — at corpus scale pre-thin with a seeded md5 threshold
-    # (module docstring); n_batches itself is dimension-sized.
-    w_anchor = Window.orderBy(_order_key(_id, "anchor", str(seed)), _id)
+    # anchors: one seeded pick per batch.  orderBy().limit() compiles to
+    # TakeOrderedAndProject — a distributed partial top-k — so there is no
+    # single-partition global-sort window even on an unthinned corpus-scale
+    # pool; the row_number window then runs over <= n_batches rows (bounded
+    # by construction; tests/test_negatives.py asserts no
+    # "Exchange SinglePartition" survives in the physical plan).
+    a_key = _order_key(_id, "anchor", str(seed))
     anchors = (
-        docs.filter(_fine == anchor_type)
-        .withColumn("batch_id", F.row_number().over(w_anchor).cast("bigint"))
-        .filter(F.col("batch_id") <= n_batches)
+        pool_a.withColumn("_ak", a_key)
+        .orderBy("_ak", id_col)
+        .limit(n_batches)
+        .withColumn(
+            "batch_id",
+            F.row_number().over(Window.orderBy("_ak", id_col)).cast("bigint"),
+        )
+        .drop("_ak")
     )
     a_dim = F.broadcast(
         anchors.select(
@@ -169,6 +202,8 @@ def training_batches_duckdb(
     n_batches: int,
     batch_size: int,
     hard_negative_ratio: float = 0.0,
+    pool_fraction: float | None = None,
+    pool_cap: int | None = None,
     table: str = "documents",
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -188,12 +223,31 @@ def training_batches_duckdb(
     pos_key = key(f"CAST(batch_id AS VARCHAR) || '#pos#{sid}'")
     easy_key = key(f"CAST(batch_id AS VARCHAR) || '#easy#{sid}'")
 
+    thin = (
+        f" WHERE {seeded_unit_duckdb(id_col, seed)} < {pool_fraction}"
+        if pool_fraction is not None
+        else ""
+    )
+
+    def cap(tag: str) -> str:
+        if pool_cap is None:
+            return ""
+        cap_key = key(f"'pool#{tag}#{sid}'")
+        return (
+            f" QUALIFY row_number() OVER (ORDER BY {cap_key}, {id_col})"
+            f" <= {pool_cap}"
+        )
+
     parts = [
+        f"""pool AS (SELECT * FROM {table}{thin})""",
+        f"""pool_a AS (
+          SELECT * FROM pool WHERE {fine_col} = '{anchor_type}'{cap('a')})""",
+        f"""pool_n AS (
+          SELECT * FROM pool WHERE {fine_col} <> '{anchor_type}'{cap('n')})""",
         f"""anchors AS (
           SELECT *, CAST(row_number() OVER (ORDER BY {anchor_key}, {id_col}) AS BIGINT) AS batch_id
-          FROM {table} WHERE {fine_col} = '{anchor_type}'
+          FROM pool_a
           QUALIFY batch_id <= {n_batches})""",
-        f"""pool_n AS (SELECT * FROM {table} WHERE {fine_col} <> '{anchor_type}')""",
         f"""t_anchor AS (
           SELECT batch_id, 'anchor' AS role, {id_col}, {fine_col},
                  CAST(0 AS BIGINT) AS rnk, CAST(-1 AS BIGINT) AS score
@@ -202,8 +256,7 @@ def training_batches_duckdb(
           SELECT batch_id, 'positive' AS role, {id_col}, {fine_col},
                  CAST(row_number() OVER (PARTITION BY batch_id ORDER BY {pos_key}, {id_col}) AS BIGINT) AS rnk,
                  CAST(-1 AS BIGINT) AS score
-          FROM {table} CROSS JOIN (SELECT batch_id FROM anchors) b
-          WHERE {fine_col} = '{anchor_type}'
+          FROM pool_a CROSS JOIN (SELECT batch_id FROM anchors) b
           QUALIFY rnk <= {batch_size})""",
     ]
     arms = ["SELECT * FROM t_anchor", "SELECT * FROM t_pos"]

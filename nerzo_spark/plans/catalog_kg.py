@@ -36,7 +36,7 @@ def _fixture():
     return generate(n_files=120)
 
 
-_run_cache: dict[str, object] = {}
+_run_cache: dict[str, tuple[object, object]] = {}
 
 
 def _run(spark):
@@ -44,17 +44,31 @@ def _run(spark):
     share the same KGResult (persisted mentions), so the driver pays the
     extract+link stage once, not four times.  Keyed by applicationId, not
     id(spark): a dead session's id() can be recycled by the allocator in a
-    long-lived process and would serve stale results."""
+    long-lived process and would serve stale results.  Entries whose
+    SparkContext has stopped are evicted on the next call (ADVICE r3), so a
+    long-lived process cycling sessions does not accumulate dead
+    persisted-DataFrame/session references."""
+    def _stopped(s) -> bool:
+        try:
+            return s.sparkContext._jsc is None or s.sparkContext._jsc.sc().isStopped()
+        except Exception:
+            return True
+
+    for k in [k for k, (s, _) in _run_cache.items() if _stopped(s)]:
+        del _run_cache[k]
     key = spark.sparkContext.applicationId
     if key not in _run_cache:
         from nerzo_spark.fixtures.spark_io import anchors_df, corpus_df
         from nerzo_spark.pipeline.kg import run_kg_pipeline
 
         fx = _fixture()
-        _run_cache[key] = run_kg_pipeline(
-            spark, corpus_df(spark, fx), anchors_df(spark, fx), repartition_to=8
+        _run_cache[key] = (
+            spark,
+            run_kg_pipeline(
+                spark, corpus_df(spark, fx), anchors_df(spark, fx), repartition_to=8
+            ),
         )
-    return _run_cache[key]
+    return _run_cache[key][1]
 
 
 @register("kg_triples", _gold_sql("triples", "subj, pred, obj, repo, path, commit"))

@@ -202,7 +202,14 @@ def dedup_embedding_neardup(spark, sf_dir):
 
 def embedding_neardup_pairs(e, threshold: float = 0.4, label_cap: int = NEARDUP_LABEL_CAP):
     """All-pairs cosine >= threshold within label partitions, guarded by
-    label_cap on the largest partition (see dedup_embedding_neardup)."""
+    label_cap on the largest partition (see dedup_embedding_neardup).
+
+    NOTE (ADVICE r3): the cap check is an EAGER action at plan-construction
+    time — this builder is deliberately non-lazy and scans the input once
+    before the pair join even below the cap.  That is the intended contract
+    for an eval-table guard: failing at construction (with the
+    ann_lsh_bucketed pointer) beats launching a quadratic job; callers
+    needing a lazy plan at corpus scale should use ann_lsh_bucketed."""
     biggest = (
         e.groupBy("label").agg(F.count("*").alias("n")).agg(F.max("n")).first()[0]
     )

@@ -435,10 +435,19 @@ def ngram_jaccard_top_pairs(spark, sf_dir):
 
 
 def _ngram_jaccard_pairs(d, df_cap: int = NGRAM_DF_CAP, logger=print):
+    from pyspark.storagelevel import StorageLevel
+
     sh0 = d.select(
         "doc_id", "source", F.explode(F.array_distinct(F.expr(_SHINGLE_SPARK))).alias("s")
     )
-    sdf = sh0.groupBy("s", "source").agg(F.count("*").alias("df"))
+    # persist so the drop-count action below MATERIALIZES the aggregation
+    # the semi-join needs anyway — one shingle scan, not two (ADVICE r3).
+    # Shingle-df-scale, MEMORY_AND_DISK, LRU-evictable; session-scoped.
+    sdf = (
+        sh0.groupBy("s", "source")
+        .agg(F.count("*").alias("df"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     n_dropped = sdf.filter(F.col("df") > df_cap).count()
     if n_dropped > 0 and logger is not None:
         logger(

@@ -59,6 +59,47 @@ def test_training_batches_partitioning_invariant(spark):
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
 
 
+def test_training_batches_pool_cap_matches_oracle(spark):
+    """Planted oversized pool: the seeded-order hard cap bounds every arm's
+    candidate pool BEFORE ranking, identically in Spark and DuckDB."""
+    params = dict(PARAMS, pool_cap=30)
+    out = training_batches(_docs(spark), **params)
+    ok, msg = compare(out, duck_con(SF), training_batches_duckdb(**params))
+    assert ok, msg
+    # the capped pool genuinely thinned the candidates: every non-anchor id
+    # comes from the 30-row seeded prefix of its pool
+    ids = {r["doc_id"] for r in out.collect()}
+    assert 0 < len(ids) <= 1 + params["pool_cap"] * 2
+
+
+def test_training_batches_pool_fraction_matches_oracle(spark):
+    params = dict(PARAMS, pool_fraction=0.5)
+    out = training_batches(_docs(spark), **params)
+    ok, msg = compare(out, duck_con(SF), training_batches_duckdb(**params))
+    assert ok, msg
+    # thinned run is a genuine subset of the full pool's doc ids
+    full = {r["doc_id"] for r in _docs(spark).select("doc_id").collect()}
+    assert {r["doc_id"] for r in out.collect()} < full
+
+
+def test_training_batches_no_single_partition_window(spark):
+    """Scale posture (VERDICT r3 #2): the anchor pick must compile to
+    TakeOrderedAndProject (distributed partial top-k), never a global
+    single-partition sort window over the full pool — with or without the
+    pool bounds."""
+    import io
+    from contextlib import redirect_stdout
+
+    for extra in ({}, {"pool_cap": 30}, {"pool_fraction": 0.5}):
+        df = training_batches(_docs(spark), **dict(PARAMS, **extra))
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        assert "TakeOrderedAndProject" in plan, plan[:2000]
+        assert "Exchange SinglePartition" not in plan, plan[:2000]
+
+
 def test_training_batches_no_hard_ratio_zero(spark):
     out = training_batches(
         _docs(spark), anchor_type="src1", n_batches=2, batch_size=4,
