@@ -48,6 +48,14 @@ def main() -> None:
     for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
                 "VECLIB_MAXIMUM_THREADS", "NUMEXPR_NUM_THREADS"):
         builder = builder.config(f"spark.executorEnv.{var}", "1")
+    # experiment hook: NERZO_EXTRA_CONF="k=v;k=v" adds configs for one-off
+    # A/B samples (e.g. inMemoryColumnarStorage knobs) without touching the
+    # protocol defaults; unset → identical behavior
+    import os as _os
+
+    for kv in filter(None, _os.environ.get("NERZO_EXTRA_CONF", "").split(";")):
+        k, _, v = kv.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -82,8 +90,15 @@ def main() -> None:
         from nerzo_spark.pipeline.kg import _partition_local_dedup, build_triples
 
         catalog = build_label_catalog(anchors)
+        # A/B the cache-materialization overhead in ONE JVM and window:
+        # plain count (no cache) vs persist+count (columnar cache build)
+        t = time.time()
+        extract_and_link(corpus, catalog).count()
+        stages["extract_nopersist"] = round(time.time() - t, 2)
+        t = time.time()
         typed = extract_and_link(corpus, catalog).persist(StorageLevel.MEMORY_AND_DISK)
         typed.count()
+        stages["extract_persist"] = round(time.time() - t, 2)
         stages["extract_link_persist"] = round(time.time() - t0, 2)
         t = time.time()
         surfaces = (

@@ -79,18 +79,48 @@ def build_label_catalog(anchor_rows: list[dict]) -> list[dict]:
 
 def _partition_local_dedup(batches):
     """Streaming exact dedup of (subj, repo, path, commit) within one
-    partition: the seen-set spans ALL Arrow batches of the partition (a
-    batch-local drop_duplicates alone would miss cross-batch repeats).
-    Exactness precondition is documented in :func:`build_triples`."""
-    seen: set = set()
+    partition, exploiting file contiguity: a duplicate key necessarily
+    shares its (repo, path, commit) — one FILE — and the extraction
+    ``mapInPandas`` emits each file's mentions as one contiguous run in the
+    partition's output stream (the same narrow-chain precondition
+    :func:`build_triples` already requires).  So a batch-local
+    ``drop_duplicates`` is exact except for the single file that may span
+    a batch boundary — only ITS keys are carried across batches (round 3
+    carried every key through a per-row Python loop; this is vectorized
+    pandas end-to-end and the carry state is one file's worth).
+    """
+    carry_file: tuple | None = None
+    carry_keys: set = set()
+    cols = ["subj", "repo", "path", "commit"]
     for pdf in batches:
-        pdf = pdf.drop_duplicates(subset=["subj", "repo", "path", "commit"])
-        keys = list(zip(pdf["subj"], pdf["repo"], pdf["path"], pdf["commit"]))
-        mask = [k not in seen for k in keys]
-        seen.update(keys)
-        out = pdf if all(mask) else pdf[mask]
-        if len(out):
-            yield out
+        if not len(pdf):
+            continue
+        pdf = pdf.drop_duplicates(subset=cols)
+        if carry_file is not None:
+            cont = (
+                (pdf["repo"] == carry_file[0])
+                & (pdf["path"] == carry_file[1])
+                & (pdf["commit"] == carry_file[2])
+            )
+            if cont.any():
+                dup = cont & pdf["subj"].isin(carry_keys)
+                if dup.any():
+                    pdf = pdf[~dup]
+        if not len(pdf):
+            continue
+        last = pdf.iloc[-1]
+        last_file = (last["repo"], last["path"], last["commit"])
+        tail = (
+            (pdf["repo"] == last_file[0])
+            & (pdf["path"] == last_file[1])
+            & (pdf["commit"] == last_file[2])
+        )
+        if last_file == carry_file:
+            carry_keys.update(pdf.loc[tail, "subj"])
+        else:
+            carry_file = last_file
+            carry_keys = set(pdf.loc[tail, "subj"])
+        yield pdf
 
 
 def _assert_narrow_from_extraction(df: DataFrame) -> None:
