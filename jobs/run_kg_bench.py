@@ -64,7 +64,12 @@ def main() -> None:
     from nerzo_spark.operators.extract_link import extract_and_link
     from nerzo_spark.session import warm_python_workers
 
-    warm_python_workers(spark)
+    # NERZO_SKIP_WARM=1: A/B hook — skip pre-spawning the python worker
+    # pool to test whether pool-size-driven cache fragmentation (tasks
+    # rotating over ~18 pooled workers per executor, each with cold lru
+    # caches) explains the super-linear 3.2M extraction
+    if not _os.environ.get("NERZO_SKIP_WARM"):
+        warm_python_workers(spark)
     sc = spark.sparkContext
     n_exec = max(1, len([e for e in sc._jsc.sc().statusTracker().getExecutorInfos()]) - 1)
     corpus = spark.read.parquet(args.corpus)

@@ -201,11 +201,19 @@ def build_triples(
     from nerzo_spark.functions.hashing import ent_id
     from nerzo_spark.operators.canonicalize import canonical_expr
 
+    import pandas as pd
+
     spark = typed.sparkSession
+    # Arrow-path createDataFrame: a plain list would go through the
+    # pickle-RDD bootstrap — a cold 4-9 s job the first time a session uses
+    # it (measured round 1), sitting INSIDE the pipeline's timed region
     label_map = F.broadcast(
         spark.createDataFrame(
-            [(c["fine_type"], c["coarse_type"], c["label_id"]) for c in catalog],
-            "fine_type string, coarse_type string, label_id string",
+            pd.DataFrame(
+                [(c["fine_type"], c["coarse_type"], c["label_id"]) for c in catalog],
+                columns=["fine_type", "coarse_type", "label_id"],
+            ).astype(str),
+            schema="fine_type string, coarse_type string, label_id string",
         )
     )
 

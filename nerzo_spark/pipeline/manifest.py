@@ -50,7 +50,12 @@ class ManifestStore:
             return
         run_id = run_id or uuid.uuid4().hex
         now = time.time()
+        import pandas as pd
+
         rows = [(stage, k, run_id, now) for k in sorted(set(keys))]
-        self.spark.createDataFrame(rows, MANIFEST_SCHEMA).coalesce(1).write.mode(
+        # Arrow-path createDataFrame — the pickle-RDD bootstrap a plain list
+        # triggers costs a cold multi-second job inside the commit window
+        pdf = pd.DataFrame(rows, columns=["stage", "partition_key", "run_id", "ts"])
+        self.spark.createDataFrame(pdf, MANIFEST_SCHEMA).coalesce(1).write.mode(
             "append"
         ).parquet(self.path)

@@ -89,30 +89,29 @@ def get_spark(
     return builder.getOrCreate()
 
 
-def warm_python_workers(spark: SparkSession, depth: int = 2) -> None:
-    """Pre-spawn the Python UDF worker pool (pandas/pyarrow imports are
-    ~1-2 s per worker; a chain of N Python stages needs N workers per core).
-    Benchmarks call this once so timings reflect cluster steady state, not
-    worker cold start."""
+def warm_python_workers(spark: SparkSession, depth: int = 1) -> None:
+    """Pre-spawn a MINIMAL Python UDF worker pool: exactly one Arrow worker
+    per task slot (pandas/pyarrow imports are ~1-2 s per worker, so
+    benchmarks warm once to measure steady state, not cold start).
+
+    Round-4 lesson (BENCH.md): the previous warm ran a chain of FOUR Python
+    operators in one stage plus a plain-RDD pass — ~4.5 pooled workers per
+    slot (72 daemons at 4x4-core executors).  Tasks then ROTATE over the
+    oversized pool, so each worker's lru embedder caches stay cold and
+    memory multiplies; measured at 3.2M files / 16 slots this cost ~80 s of
+    extraction wall (211-241 s with the bloated pool vs 131.5 s with none).
+    The hot path is ONE fused mapInPandas, so the correct pool is ONE
+    worker per slot: a single-operator pass over exactly `cores`
+    partitions."""
     import pandas as pd  # noqa: F401
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
 
     cores = spark.sparkContext.defaultParallelism
-    df = spark.range(0, cores * 4, numPartitions=cores * 4)
 
-    @F.pandas_udf(LongType())
-    def _noop(x):
-        return x
+    def _id(batches):
+        for b in batches:
+            yield b
 
-    for _ in range(depth):
-        def _id(batches):
-            for b in batches:
-                yield b
-
-        df = df.mapInPandas(_id, schema="id long").withColumn("id", _noop(F.col("id")))
-    df.count()
-    # the plain-pickle RDD path (createDataFrame/parallelize) uses a separate
-    # worker bootstrap — warm it too
-    spark.sparkContext.parallelize(range(cores * 2), cores * 2).count()
-    spark.createDataFrame([(1, "x")], "a long, b string").collect()
+    for _ in range(max(depth, 1)):
+        spark.range(0, cores, numPartitions=cores).mapInPandas(
+            _id, schema="id long"
+        ).count()
