@@ -84,7 +84,8 @@ def main() -> None:
 
     def run_kg():
         res = run_kg_pipeline(spark, corpus, anchors, repartition_to=4 * args.cores)
-        n_triples["n"] = res.triples.count()
+        # per-arm sum plan == triples.count() (test-pinned); one cache scan
+        n_triples["n"] = res.triples_count.collect()[0]["n_triples"]
 
     timed("kg_pipeline", run_kg)
 

@@ -72,6 +72,16 @@ def main() -> None:
     lineage_rows = [
         {**r, "files": len(r["files"])} for r in sorted(lineage.values(), key=lambda r: r["repo"])
     ]
+    # per-stage summary rows (O3): both pipeline paths (run_kg_pipeline and
+    # run_incremental) emit one row per downstream stage with repo='__all__'
+    # and the files=-1 sentinel; rows_out derives from the fixture alone
+    # (entity / triple cardinalities), never from pipeline code
+    lineage_rows += [
+        {"repo": "__all__", "rows_out": len(fx.entities), "sha_ok": True,
+         "files": -1, "stage": "canonicalize"},
+        {"repo": "__all__", "rows_out": len(fx.triples), "sha_ok": True,
+         "files": -1, "stage": "triples"},
+    ]
     _write(
         "lineage",
         lineage_rows,

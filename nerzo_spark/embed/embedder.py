@@ -140,6 +140,21 @@ def _accumulate(feats: list[tuple[str, float]]) -> np.ndarray:
 
 from functools import lru_cache
 
+# Vocabulary-cliff knob (VERDICT r4 task 4, measured curve in BENCH.md):
+# once a TASK's distinct-surface working set exceeds the cache, per-core
+# throughput drops ~1.7x (10.2k -> 6k mentions/s at 3.2M files with
+# 64-row-group corpora = 50k files/task).  Two levers, in order of
+# preference: (a) partition the corpus so per-task vocabulary stays under
+# the cap (files/12500 partitions did it for the 3.2M campaign corpus), or
+# (b) raise NERZO_CACHE_ENTRIES (cost ~0.6 KB/entry/worker for the two
+# component caches).  The env var is read at import time in each Python
+# worker — set it via spark.executorEnv.NERZO_CACHE_ENTRIES on a cluster
+# (jobs/run_kg_bench.py propagates it); a stand-in artifact either way:
+# production replaces this featurizer with a GPU LLM forward.
+import os as _os
+
+_CACHE_ENTRIES = max(int(_os.environ.get("NERZO_CACHE_ENTRIES", "262144")), 1024)
+
 
 def _frozen(v: np.ndarray) -> np.ndarray:
     # cached arrays are shared across callers — make them read-only so a
@@ -148,12 +163,12 @@ def _frozen(v: np.ndarray) -> np.ndarray:
     return v
 
 
-@lru_cache(maxsize=262_144)
+@lru_cache(maxsize=_CACHE_ENTRIES)
 def _end_vec(surface: str, right3: str) -> np.ndarray:
     return _frozen(_accumulate(surface_features(surface, right3)))
 
 
-@lru_cache(maxsize=262_144)
+@lru_cache(maxsize=_CACHE_ENTRIES)
 def _start_vec(left16: str) -> np.ndarray:
     return _frozen(_accumulate(left_features(left16)))
 
@@ -161,7 +176,7 @@ def _start_vec(left16: str) -> np.ndarray:
 # the pair-level cache only saves a concat+renorm over the component caches,
 # so it is sized 8x smaller (~32 MB/worker of 1 KB entries worst-case vs the
 # multi-GB fleet-wide worst case a 262k cap would allow)
-@lru_cache(maxsize=32_768)
+@lru_cache(maxsize=max(_CACHE_ENTRIES // 8, 4096))
 def _pair_vec(left16: str, surface: str, right3: str) -> np.ndarray:
     start = _start_vec(left16)
     end = _end_vec(surface, right3)

@@ -148,6 +148,7 @@ def canonical_overrides(
     loop_partitions: int = 32,
     driver_limit: int = 500_000,
     already_distinct: bool = False,
+    bucket_broadcast_limit: int = 2_000_000,
 ) -> DataFrame:
     """The MINIMAL canonicalization mapping: (fine_type, surface, canonical)
     ONLY for surfaces whose cluster canonical differs from their own
@@ -201,56 +202,75 @@ def canonical_overrides(
     # (bucket, partial-count) pairs cross executors) finds the collision
     # buckets — a table bounded by the HOT subgraph, small by construction
     # (the whole design rests on collisions being rare; Path 3 exists for
-    # the rest) — and a broadcast semi-join keeps multi-member buckets
-    # without ever shuffling or sorting the edge rows.
-    collision_buckets = (
+    # the rest) — and a semi-join keeps multi-member buckets without ever
+    # shuffling or sorting the edge rows.
+    # v5 (ADVICE r4): the aggregate is localCheckpointed EAGERLY so it runs
+    # exactly once — the old shape re-ran it for Path 3's hot_edges
+    # checkpoint — and its (count, sum bn) stats drive BOTH decisions:
+    # the Path-1/Path-3 split (sum bn >= hot node count, so
+    # sum bn <= driver_limit guarantees the driver collect is bounded —
+    # replaces the limit(driver_limit+1) probe job) and the broadcast gate
+    # (explicit F.broadcast bypasses autoBroadcastJoinThreshold; in the
+    # Path-3 regime collision_buckets scales with the hot subgraph and an
+    # unconditional broadcast could blow the driver / 8 GB cap — oversized
+    # tables fall back to a shuffle semi-join).
+    collision_stats = (
         all_edges.groupBy("bucket")
         .agg(F.count("*").alias("bn"))
         .filter(F.col("bn") > 1)
-        .select("bucket")
+        .localCheckpoint()
     )
-    hot_edges = all_edges.join(F.broadcast(collision_buckets), "bucket")
+    st = collision_stats.agg(
+        F.count("*").alias("n_buckets"),
+        F.coalesce(F.sum("bn"), F.lit(0)).alias("hot_edge_rows"),
+    ).collect()[0]
+    collision_buckets = collision_stats.select("bucket")
+    if st["n_buckets"] <= bucket_broadcast_limit:
+        collision_buckets = F.broadcast(collision_buckets)
+    hot_edges = all_edges.join(collision_buckets, "bucket", "left_semi")
     hot = hot_edges.select(
         "node_id", "fine_type", "surface", "k1", "k2"
     ).dropDuplicates(["node_id"])
 
     # Path 1/2: collision subgraph fits on the driver — union-find it there
     # (exact, 1 round-trip); keys come precomputed from the cluster, so the
-    # driver does dict ops only, no regex
-    if driver_limit > 0:
-        rows = hot.limit(driver_limit + 1).collect()
-        if len(rows) <= driver_limit:
-            mapping = _driver_union_find(
-                [(r["fine_type"], r["surface"]) for r in rows],
-                keys=[(r["k1"], r["k2"]) for r in rows],
-            )
-            k1_of = {(r["fine_type"], r["surface"]): r["k1"] for r in rows}
-            overrides = [
-                (ft, s, c) for ft, s, c in mapping if c != k1_of[(ft, s)]
-            ]
-            import pandas as pd
+    # driver does dict ops only, no regex.  hot_edge_rows bounds the node
+    # count from above (each hot node contributes >=1 collision-bucket
+    # membership), so the collect is driver-safe by construction.
+    if driver_limit > 0 and st["hot_edge_rows"] <= driver_limit:
+        rows = hot.collect()
+        mapping = _driver_union_find(
+            [(r["fine_type"], r["surface"]) for r in rows],
+            keys=[(r["k1"], r["k2"]) for r in rows],
+        )
+        k1_of = {(r["fine_type"], r["surface"]): r["k1"] for r in rows}
+        overrides = [
+            (ft, s, c) for ft, s, c in mapping if c != k1_of[(ft, s)]
+        ]
+        import pandas as pd
 
-            # Arrow-path createDataFrame (plain parallelize costs a cold
-            # 4-9 s RDD job for even a 3k-row table)
-            return spark.createDataFrame(
-                pd.DataFrame(
-                    overrides, columns=["fine_type", "surface", "canonical"]
-                ).astype(str)
-                if overrides
-                else pd.DataFrame(
-                    {"fine_type": pd.Series(dtype=str),
-                     "surface": pd.Series(dtype=str),
-                     "canonical": pd.Series(dtype=str)}
-                ),
-                schema="fine_type string, surface string, canonical string",
-            )
+        # Arrow-path createDataFrame (plain parallelize costs a cold
+        # 4-9 s RDD job for even a 3k-row table)
+        return spark.createDataFrame(
+            pd.DataFrame(
+                overrides, columns=["fine_type", "surface", "canonical"]
+            ).astype(str)
+            if overrides
+            else pd.DataFrame(
+                {"fine_type": pd.Series(dtype=str),
+                 "surface": pd.Series(dtype=str),
+                 "canonical": pd.Series(dtype=str)}
+            ),
+            schema="fine_type string, surface string, canonical string",
+        )
 
     # Path 3: distributed min-label propagation over the hot subgraph
     # (singleton buckets dropped above contribute only a node's own label
     # to the bucket-min — removing them cannot change any fixpoint label).
     # Checkpoint HERE (not for Path 1, whose single collect needs no reuse):
     # the loop reads `edges` every iteration and must not re-run the
-    # collision-bucket aggregation each round.
+    # key-regex projection + collision semi-join each round (the bucket
+    # aggregation itself is already checkpointed above and runs once).
     hot_edges = hot_edges.localCheckpoint()
     hot = hot_edges.select(
         "node_id", "fine_type", "surface", "k1", "k2"

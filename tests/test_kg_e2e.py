@@ -45,7 +45,28 @@ def test_lineage_rows(spark, fixture_small, kg_result):
     lin = result.lineage.collect()
     assert len(lin) >= 1
     assert all(r["sha_ok"] for r in lin)
-    assert sum(r["rows_out"] for r in lin) == result.mentions.count()
+    extract = [r for r in lin if r["stage"] == "extract+link"]
+    assert sum(r["rows_out"] for r in extract) == result.mentions.count()
+    # per-stage O3 rows on the LIBRARY path (round 5): >=3 distinct stages,
+    # stage summary rows carry exact cardinalities + the -1 files sentinel
+    stages = {r["stage"] for r in lin}
+    assert {"extract+link", "canonicalize", "triples"} <= stages
+    by_stage = {r["stage"]: r for r in lin if r["repo"] == "__all__"}
+    assert by_stage["canonicalize"]["rows_out"] == result.entities.count()
+    assert by_stage["triples"]["rows_out"] == result.triples.count()
+    assert by_stage["canonicalize"]["files"] == -1
+    # canonicalize wall is measured (eager clustering); triples wall is a
+    # documented -1.0 sentinel on the library path
+    assert by_stage["canonicalize"]["wall_ms"] > 0
+    assert by_stage["triples"]["wall_ms"] == -1.0
+
+
+def test_triples_count_plan_equals_union_count(spark, fixture_small, kg_result):
+    """build_triples_count (the bench headline count: per-arm sums, one
+    cache scan, count-only dedup) must equal triples.count() exactly."""
+    n_plan = kg_result.triples_count.collect()[0]["n_triples"]
+    assert n_plan == kg_result.triples.count()
+    assert kg_result.n_mentions == kg_result.mentions.count()
 
 
 def test_canonical_variant_chain(spark, fixture_small, kg_result):
@@ -97,3 +118,35 @@ def test_file_local_dedup_equals_shuffle_dedup(spark, fixture_small, kg_result):
     # the repartition(8) fixture spread + megarepo skew means multiple
     # batches/partitions were exercised, not a single-partition trivial pass
     assert len(l_rows) > 0
+
+
+def test_file_local_dedup_tripwire(spark, fixture_small, kg_result, tmp_path):
+    """The narrow-chain tripwire must reject inputs whose file contiguity is
+    broken — INCLUDING a shuffle hidden inside a cached plan (caller does
+    repartition THEN persist: the Exchange sits below the InMemoryTableScan
+    line in the plan string; ADVICE r4 found the old prefix-only scan
+    false-passed this), and a parquet round-trip (no extraction MapInPandas
+    in the plan at all) — while accepting the legit persisted chain."""
+    import pytest
+    from pyspark.storagelevel import StorageLevel
+
+    from nerzo_spark.pipeline.kg import _assert_narrow_from_extraction
+
+    typed = kg_result.mentions
+    # legit: cache directly over the extraction mapInPandas
+    _assert_narrow_from_extraction(typed)
+
+    # hazard 1 (ADVICE r4): shuffle below the cache boundary
+    reshuffled = typed.repartition(8).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        reshuffled.count()
+        with pytest.raises(ValueError, match="narrow"):
+            _assert_narrow_from_extraction(reshuffled)
+    finally:
+        reshuffled.unpersist()
+
+    # hazard 2: parquet round-trip (incremental.py's shape) — no MapInPandas
+    p = str(tmp_path / "typed_roundtrip")
+    typed.write.mode("overwrite").parquet(p)
+    with pytest.raises(ValueError, match="no extraction boundary"):
+        _assert_narrow_from_extraction(spark.read.parquet(p))
