@@ -55,7 +55,8 @@ if STAGE == "extract":
     unit = "mentions"
 else:
     res = run_kg_pipeline(spark, corpus, anchors)
-    n = res.triples.count()
+    # per-arm sum plan == triples.count() (test-pinned); one cache scan
+    n = res.triples_count.collect()[0]["n_triples"]
     unit = "triples"
 dt = time.time() - t0
 print(json.dumps({"cores": C, "files": N, "stage": STAGE, "sec": round(dt, 2),
