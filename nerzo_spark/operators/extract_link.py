@@ -62,7 +62,7 @@ def extract_and_link(
     coarse = [r["coarse_type"] for r in cat]
     fine = [r["fine_type"] for r in cat]
 
-    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def _nerzo_extract_link(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out: dict[str, list] = {
                 k: []
@@ -114,4 +114,12 @@ def extract_and_link(
                 out["score"] = []
             yield pd.DataFrame(out)
 
-    return corpus.mapInPandas(_extract, schema=LINKED_SCHEMA)
+    return corpus.mapInPandas(_nerzo_extract_link, schema=LINKED_SCHEMA)
+
+
+# The physical plan prints the UDF's __name__ on the MapInPandas line
+# ("MapInPandas _nerzo_extract_link(...)"; verified on Spark 4.1) — the
+# narrow-chain tripwire (pipeline/kg.py) anchors its scan boundary on this
+# distinctive name so a CALLER's own mapInPandas above a hidden shuffle
+# cannot be mistaken for the extraction boundary.
+EXTRACT_UDF_PLAN_TOKEN = "_nerzo_extract_link"

@@ -191,26 +191,38 @@ def _assert_narrow_from_extraction(df: DataFrame) -> None:
     ONLY if ``typed`` reaches here through a narrow (shuffle-free) chain
     from the extraction ``mapInPandas`` — a re-shuffled or parquet-sourced
     input splits one file's mentions across partitions and would silently
-    double-emit triples.  The extraction boundary is the FIRST MapInPandas
-    line anywhere in the full plan string — ``InMemoryRelation`` prints its
-    cached child plan inline (verified on Spark 4.1), so a shuffle hidden
-    inside a cached plan (caller repartitions THEN persists: the Exchange
-    sits below the InMemoryTableScan line but above the extraction
-    MapInPandas; ADVICE r4) is visible and caught.  Fail loudly if (a) any
+    double-emit triples.  The extraction boundary is the MapInPandas line
+    carrying the extraction UDF's NAME (the plan prints the function's
+    ``__name__``: "MapInPandas _nerzo_extract_link(...)"; anchoring on the
+    name — not on the first MapInPandas — means a caller-inserted
+    mapInPandas above a hidden shuffle cannot truncate the scan, the last
+    r4-ADVICE edge).  The full plan string is scanned — ``InMemoryRelation``
+    prints its cached child plan inline (verified on Spark 4.1), so a
+    shuffle hidden inside a cached plan (caller repartitions THEN persists:
+    the Exchange sits below the InMemoryTableScan line but above the
+    extraction MapInPandas) is visible and caught.  Fail loudly if (a) any
     non-broadcast Exchange appears above that boundary, or (b) no
-    MapInPandas exists at all (input did not descend from in-process
-    extraction).  Broadcast exchanges are allowed — they never move the
-    probe side's rows; shuffles BELOW the extraction MapInPandas (the
-    corpus repartition) are allowed — extraction emits each file's mentions
-    from one input row regardless of how corpus rows were placed."""
+    extraction MapInPandas exists at all (input did not descend from
+    in-process extraction).  Broadcast exchanges are allowed — they never
+    move the probe side's rows; shuffles BELOW the extraction MapInPandas
+    (the corpus repartition) are allowed — extraction emits each file's
+    mentions from one input row regardless of how corpus rows were placed.
+    The boundary is the FIRST named occurrence: AQE prints the plan tree
+    twice ("== Current Plan ==" / "== Initial Plan =="), so the last
+    occurrence would sit below the current plan's legal corpus Exchange and
+    false-trip; the first named line belongs to the current plan, and
+    everything string-above it is genuinely above the extraction."""
+    from nerzo_spark.operators.extract_link import EXTRACT_UDF_PLAN_TOKEN
+
     plan = df._jdf.queryExecution().executedPlan().toString()
-    prefix: list[str] = []
-    boundary = False
-    for ln in plan.splitlines():
-        if "MapInPandas" in ln:
-            boundary = True
+    lines = plan.splitlines()
+    boundary_idx = None
+    for i, ln in enumerate(lines):
+        if "MapInPandas" in ln and EXTRACT_UDF_PLAN_TOKEN in ln:
+            boundary_idx = i
             break
-        prefix.append(ln)
+    boundary = boundary_idx is not None
+    prefix = lines[:boundary_idx] if boundary else lines
     shuffles = [
         ln.strip()
         for ln in prefix

@@ -150,3 +150,21 @@ def test_file_local_dedup_tripwire(spark, fixture_small, kg_result, tmp_path):
     typed.write.mode("overwrite").parquet(p)
     with pytest.raises(ValueError, match="no extraction boundary"):
         _assert_narrow_from_extraction(spark.read.parquet(p))
+
+    # hazard 3 (ADVICE r5 residue): a CALLER's own mapInPandas sitting above
+    # a hidden shuffle — a first-MapInPandas-line scan would stop at the
+    # caller's UDF and never see the Exchange; the name-anchored boundary
+    # must still catch it
+    def _caller_passthrough(batches):
+        yield from batches
+
+    masked = typed.repartition(8).mapInPandas(
+        _caller_passthrough, schema=typed.schema
+    )
+    with pytest.raises(ValueError, match="narrow"):
+        _assert_narrow_from_extraction(masked)
+
+    # and the same caller mapInPandas WITHOUT a shuffle is narrow -> legit
+    _assert_narrow_from_extraction(
+        typed.mapInPandas(_caller_passthrough, schema=typed.schema)
+    )
