@@ -104,7 +104,8 @@ def _partition_local_dedup(batches):
     regardless of any dedup strategy here, and the fixture generator / the
     incremental path's dynamic-partition-overwrite both guarantee
     uniqueness by construction.  Corpora of unknown provenance must be
-    deduplicated on (repo, path, commit) before entering the pipeline.
+    deduplicated on (repo, path, commit) before entering the pipeline —
+    :func:`corpus_duplicate_files` is the one-job checker for that.
     """
     carry_file: tuple | None = None
     carry_keys: set = set()
@@ -183,6 +184,23 @@ def _partition_local_dedup_count(batches):
             carry_fk = last_fk
             carry_keys = set(pdf.loc[tail, "key"])
         yield pd.DataFrame({"n": [len(pdf)]})
+
+
+def corpus_duplicate_files(corpus: DataFrame) -> DataFrame:
+    """Checker for the corpus-row uniqueness precondition (ADVICE r4/r5):
+    returns the (repo, path, commit) keys that appear on MORE than one
+    corpus row, with their counts — empty means the precondition holds and
+    ``file_local_dedup`` is exact.  FILE-scale work (one partial-agg
+    groupBy over the corpus table, collapsing map-side to per-partition
+    distinct keys): run it once when ingesting a corpus of unknown
+    provenance, not inside the timed pipeline — the fixture generator and
+    the incremental path's dynamic-partition overwrite guarantee
+    uniqueness by construction, so the hot path never pays for it."""
+    return (
+        corpus.groupBy("repo", "path", "commit")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .filter(F.col("n_rows") > 1)
+    )
 
 
 def _assert_narrow_from_extraction(df: DataFrame) -> None:

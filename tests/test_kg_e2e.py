@@ -168,3 +168,18 @@ def test_file_local_dedup_tripwire(spark, fixture_small, kg_result, tmp_path):
     _assert_narrow_from_extraction(
         typed.mapInPandas(_caller_passthrough, schema=typed.schema)
     )
+
+
+def test_corpus_duplicate_files_checker(spark, fixture_small):
+    """The opt-in uniqueness checker (ADVICE r4/r5): clean fixture corpus ->
+    empty; an injected duplicate corpus row -> exactly that key flagged with
+    its row count."""
+    from nerzo_spark.pipeline.kg import corpus_duplicate_files
+
+    corpus = corpus_df(spark, fixture_small)
+    assert corpus_duplicate_files(corpus).count() == 0
+
+    dup = corpus.unionAll(corpus.limit(1))
+    flagged = corpus_duplicate_files(dup).collect()
+    assert len(flagged) == 1
+    assert flagged[0]["n_rows"] == 2
