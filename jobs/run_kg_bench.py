@@ -48,20 +48,21 @@ def main() -> None:
     for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS",
                 "VECLIB_MAXIMUM_THREADS", "NUMEXPR_NUM_THREADS"):
         builder = builder.config(f"spark.executorEnv.{var}", "1")
-    import os as _env_os
+    import os as _os
 
-    if _env_os.environ.get("NERZO_CACHE_ENTRIES"):
+    if _os.environ.get("NERZO_CACHE_ENTRIES"):
         # embedder vocabulary-cliff knob (embed/embedder.py): must reach the
-        # executor Python workers, which read it at import time
+        # executor Python workers, which read it at import time — validate
+        # HERE so a typo fails on the driver, not as a worker import crash
+        # mid-campaign
+        int(_os.environ["NERZO_CACHE_ENTRIES"])
         builder = builder.config(
             "spark.executorEnv.NERZO_CACHE_ENTRIES",
-            _env_os.environ["NERZO_CACHE_ENTRIES"],
+            _os.environ["NERZO_CACHE_ENTRIES"],
         )
     # experiment hook: NERZO_EXTRA_CONF="k=v;k=v" adds configs for one-off
     # A/B samples (e.g. inMemoryColumnarStorage knobs) without touching the
     # protocol defaults; unset → identical behavior
-    import os as _os
-
     for kv in filter(None, _os.environ.get("NERZO_EXTRA_CONF", "").split(";")):
         k, _, v = kv.partition("=")
         builder = builder.config(k.strip(), v.strip())

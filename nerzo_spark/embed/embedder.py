@@ -153,7 +153,15 @@ from functools import lru_cache
 # production replaces this featurizer with a GPU LLM forward.
 import os as _os
 
-_CACHE_ENTRIES = max(int(_os.environ.get("NERZO_CACHE_ENTRIES", "262144")), 1024)
+try:
+    _CACHE_ENTRIES = max(int(_os.environ.get("NERZO_CACHE_ENTRIES", "262144")), 1024)
+except ValueError as _exc:  # a bare int() here would kill every executor
+    # Python worker at import time with a traceback far from the bad env
+    # var — fail with a message that names the knob instead.
+    raise ValueError(
+        f"NERZO_CACHE_ENTRIES must be an integer, got "
+        f"{_os.environ.get('NERZO_CACHE_ENTRIES')!r}"
+    ) from _exc
 
 
 def _frozen(v: np.ndarray) -> np.ndarray:

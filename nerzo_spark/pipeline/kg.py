@@ -141,6 +141,29 @@ def _partition_local_dedup(batches):
         yield pdf
 
 
+def compact_dedup_key(*cols: str):
+    """Exact 20-byte dedup key over a string tuple: sha1 of the
+    LENGTH-PREFIXED field concatenation, with NULL mapped to a reserved
+    one-char marker no length-prefixed value can start with.
+
+    concat_ws would silently skip NULL fields (and a field containing the
+    separator would shift boundaries), making distinct tuples alias — the
+    row-level dedup twin keeps such tuples distinct, so this key must too.
+    Length prefixes rule out every concatenation aliasing; collision
+    probability is sha1's (the same cryptographic-identity assumption
+    ent_id / mention_id / text_id already rest on).  Pure JVM codegen —
+    one hash plus a few string ops per row.
+    """
+
+    def _lp(c: str):
+        col = F.col(c)
+        return F.when(col.isNull(), F.lit("\u0000")).otherwise(
+            F.concat(F.length(col).cast("string"), F.lit(":"), col)
+        )
+
+    return F.unhex(F.sha1(F.concat(*[_lp(c) for c in cols])))
+
+
 def _partition_local_dedup_count(batches):
     """Count-only twin of :func:`_partition_local_dedup` over a COMPACT
     (key, fk) projection — same carry-one-file contiguity logic, same
@@ -153,10 +176,13 @@ def _partition_local_dedup_count(batches):
       deduped row back across Arrow just to count it — part of the
       27-45 s triples-count tail at 3.2M files, round 4).
 
-    ``key`` = sha1(subj ␟ repo ␟ path ␟ commit) is EXACT under the same
-    cryptographic-identity assumption the pipeline already rests on
-    (ent_id / mention_id / text_id are sha1-equality identities), with the
-    unit separator ruling out field-concatenation aliasing; ``fk`` is only
+    ``key`` = sha1 over the length-prefixed (subj, repo, path, commit)
+    tuple (NULL -> a reserved marker that no length-prefixed value can
+    produce) is EXACT under the same cryptographic-identity assumption the
+    pipeline already rests on (ent_id / mention_id / text_id are
+    sha1-equality identities): length prefixes rule out every
+    field-concatenation aliasing, including NULL fields and fields that
+    contain any would-be separator; ``fk`` is only
     a file-boundary GROUPING token — an xxhash64 collision merges two
     files' carry sets, which is harmless because membership tests use the
     exact key."""
@@ -406,18 +432,11 @@ def _triple_parts(
         _assert_narrow_from_extraction(typed)
         if count_only_dedup:
             # compact projection: exact 20-byte dedup key + 8-byte file
-            # token (see _partition_local_dedup_count) — sha1/xxhash64 are
-            # JVM codegen exprs, so the ~3.5x Arrow-payload cut costs one
-            # hash per row
+            # token (see _partition_local_dedup_count and
+            # compact_dedup_key) — sha1/xxhash64 are JVM codegen exprs, so
+            # the ~3.5x Arrow-payload cut costs one hash per row
             defined_base = defined_base.select(
-                F.unhex(
-                    F.sha1(
-                        F.concat_ws(
-                            "\u001f", F.col("subj"), F.col("repo"),
-                            F.col("path"), F.col("commit"),
-                        )
-                    )
-                ).alias("key"),
+                compact_dedup_key("subj", "repo", "path", "commit").alias("key"),
                 F.xxhash64("repo", "path", "commit").alias("fk"),
             ).mapInPandas(_partition_local_dedup_count, schema="n long")
         else:
@@ -571,10 +590,16 @@ def run_kg_pipeline(
     triples = build_triples(
         typed, overrides, catalog, surfaces=surfaces, file_local_dedup=True
     )
+    # lazy persist of the ONE-row count plan: its defined_in arm scans the
+    # mention cache through the count-only dedup, and the plan is embedded
+    # both in KGResult.triples_count and in the lineage 'triples' row — a
+    # caller materializing both (or lineage twice) would otherwise pay the
+    # mention-scale scan each time.  No action is triggered here (keeps the
+    # no-serialized-action property of the library path).
     triples_count = build_triples_count(
         typed, overrides, catalog, n_mentions,
         surfaces=surfaces, file_local_dedup=True,
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     # Per-stage lineage on the library path (VERDICT r4 task 3), without
     # adding serialized actions to the pipeline's own critical path: the
