@@ -5,6 +5,15 @@ Headline queries: the KG-construction pipeline (the north-star metric,
 triples/sec) plus representative operators from each family (agg, window
 islands, cosine top-k, minhash LSH, recall@k).
 
+Min-of-k protocol (VERDICT r5 task 6): the default invocation runs
+``--samples 3`` FRESH-PROCESS samples (fresh JVM each — the first sample of
+a fresh JVM is JIT-inflated 15-40%, and this shared host's neighbor load
+varies identical runs 2-4x), each lightly loadavg-gated, and emits ONE
+pooled JSON line whose ``queries`` are per-query minima; every raw sample
+rides along in ``samples`` with its window's loadavg, so round-over-round
+comparison needs no weather adjudication.  ``--as-sample`` is the internal
+single-run mode (the pre-r6 behavior).
+
 Scaling-efficiency protocol (BASELINE.md): run ``python bench.py --cores 8``
 and ``--cores 32`` on the same input; eff = (thr_32 / thr_8) / 4.
 """
@@ -14,7 +23,74 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import subprocess
+import sys
 import time
+
+
+def _wait_quiet(gate: float, timeout_s: float) -> float:
+    t0 = time.time()
+    while True:
+        la = os.getloadavg()[0]
+        if la < gate or time.time() - t0 > timeout_s:
+            return la
+        time.sleep(10)
+
+
+def _pooled(args) -> None:
+    """Parent mode: k fresh-process samples -> one pooled min-of-k line."""
+    here = os.path.abspath(__file__)
+    samples: list[dict] = []
+    for i in range(args.samples):
+        la = _wait_quiet(args.loadavg_gate, args.gate_timeout)
+        cmd = [
+            sys.executable, here, "--as-sample",
+            "--sf-dir", args.sf_dir, "--cores", str(args.cores),
+            "--kg-files", str(args.kg_files),
+        ]
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, cwd=os.path.dirname(here)
+        )
+        lines = [ln for ln in out.stdout.splitlines() if ln.startswith("{")]
+        if not lines:
+            samples.append({"err": (out.stderr or "no output")[-400:],
+                            "gate_loadavg": round(la, 2)})
+            continue
+        s = json.loads(lines[-1])
+        s["gate_loadavg"] = round(la, 2)
+        samples.append(s)
+    ok = [s for s in samples if "queries" in s]
+    if not ok:
+        print(json.dumps({"metric": "total_bench_sec", "value": -1,
+                          "unit": "sec", "queries": {}, "samples": samples}))
+        raise SystemExit(1)
+    qmin = {
+        q: min(s["queries"][q] for s in ok if q in s["queries"])
+        for q in ok[0]["queries"]
+    }
+    total = round(sum(qmin.values()), 3)
+    kg_n = max(s.get("kg_triples", 0) for s in ok)
+    print(json.dumps({
+        "metric": "total_bench_sec",
+        "value": total,  # sum of per-query minima (machine capability)
+        "unit": "sec",
+        "queries": qmin,
+        "sf": ok[0].get("sf"),
+        "cores": args.cores,
+        "kg_triples": kg_n,
+        "kg_triples_per_sec": round(kg_n / qmin["kg_pipeline"], 1)
+        if qmin.get("kg_pipeline") else 0,
+        "min": min(s["value"] for s in ok),  # best single-sample total
+        "samples": [
+            {k: s.get(k) for k in
+             ("value", "queries", "loadavg_1m_start_end", "gate_loadavg", "err")
+             if k in s}
+            for s in samples
+        ],
+        "protocol": f"min-of-{len(ok)} fresh-process samples, "
+                    f"loadavg-gate {args.loadavg_gate} "
+                    f"(timeout {args.gate_timeout}s)",
+    }))
 
 
 def main() -> None:
@@ -24,7 +100,17 @@ def main() -> None:
     # 400k files: at 100k the pipeline's fixed costs dominated the
     # triples/sec headline (same operators, ~4x lower apparent throughput)
     ap.add_argument("--kg-files", type=int, default=int(os.environ.get("NERZO_BENCH_KG_FILES", "400000")))
+    ap.add_argument("--samples", type=int, default=int(os.environ.get("NERZO_BENCH_SAMPLES", "3")))
+    ap.add_argument("--loadavg-gate", type=float, default=3.0)
+    ap.add_argument("--gate-timeout", type=float, default=240.0,
+                    help="max seconds to wait for a quiet window per sample")
+    ap.add_argument("--as-sample", action="store_true",
+                    help="internal: run ONE in-process sample and exit")
     args = ap.parse_args()
+
+    if not args.as_sample:
+        _pooled(args)
+        return
 
     from nerzo_spark.session import get_spark, warm_python_workers
 

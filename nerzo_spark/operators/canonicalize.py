@@ -124,6 +124,7 @@ def canonicalize_surfaces(
     max_iter: int = 12,
     loop_partitions: int = 32,
     driver_limit: int = 500_000,
+    bucket_broadcast_bytes: int = 32 << 20,
 ) -> DataFrame:
     """typed_surfaces(fine_type, surface) -> (fine_type, surface, canonical,
     entity_id).  Deterministic: canonical = lexicographic min k1 in cluster."""
@@ -131,6 +132,7 @@ def canonicalize_surfaces(
     overrides = canonical_overrides(
         typed_surfaces, max_iter=max_iter, loop_partitions=loop_partitions,
         driver_limit=driver_limit,
+        bucket_broadcast_bytes=bucket_broadcast_bytes,
     )
     resolved = distinct_surfaces.join(
         F.broadcast(overrides), ["fine_type", "surface"], "left"
@@ -142,13 +144,31 @@ def canonicalize_surfaces(
     return _with_entity_ids(resolved)
 
 
+def _collision_semi_join(
+    all_edges: DataFrame,
+    collision_buckets: DataFrame,
+    est_bytes: int,
+    limit_bytes: int,
+) -> DataFrame:
+    """Keep only edges in multi-member buckets.  Broadcasts the bucket list
+    when its estimated in-memory size fits ``limit_bytes`` (collision buckets
+    are hot-subgraph-sized — tiny in the designed regime); falls back to a
+    shuffle semi-join when the estimate says the broadcast could pressure
+    the driver (unbounded-surface regime).  Split out so the gate's two
+    physical shapes are plan-assertable (tests/test_canonicalize_paths.py)."""
+    buckets = collision_buckets.select("bucket")
+    if est_bytes <= limit_bytes:
+        buckets = F.broadcast(buckets)
+    return all_edges.join(buckets, "bucket", "left_semi")
+
+
 def canonical_overrides(
     typed_surfaces: DataFrame,
     max_iter: int = 12,
     loop_partitions: int = 32,
     driver_limit: int = 500_000,
     already_distinct: bool = False,
-    bucket_broadcast_limit: int = 2_000_000,
+    bucket_broadcast_bytes: int = 32 << 20,
 ) -> DataFrame:
     """The MINIMAL canonicalization mapping: (fine_type, surface, canonical)
     ONLY for surfaces whose cluster canonical differs from their own
@@ -206,14 +226,17 @@ def canonical_overrides(
     # shuffling or sorting the edge rows.
     # v5 (ADVICE r4): the aggregate is localCheckpointed EAGERLY so it runs
     # exactly once — the old shape re-ran it for Path 3's hot_edges
-    # checkpoint — and its (count, sum bn) stats drive BOTH decisions:
-    # the Path-1/Path-3 split (sum bn >= hot node count, so
+    # checkpoint — and its (count, sum bn, sum octet_length) stats drive
+    # BOTH decisions: the Path-1/Path-3 split (sum bn >= hot node count, so
     # sum bn <= driver_limit guarantees the driver collect is bounded —
-    # replaces the limit(driver_limit+1) probe job) and the broadcast gate
-    # (explicit F.broadcast bypasses autoBroadcastJoinThreshold; in the
-    # Path-3 regime collision_buckets scales with the hot subgraph and an
-    # unconditional broadcast could blow the driver / 8 GB cap — oversized
-    # tables fall back to a shuffle semi-join).
+    # replaces the limit(driver_limit+1) probe job) and the broadcast gate.
+    # v6 (ADVICE r5): the gate is BYTE-denominated, not row-count: bucket
+    # keys embed normalized surfaces of unbounded length, so a row limit
+    # admitted anywhere from ~60 MB to several hundred MB.  The checkpointed
+    # stats carry sum(octet_length(bucket)) for free; the estimate adds
+    # ~32 B/row of UnsafeRow + hash-relation overhead.  Oversized tables
+    # fall back to a shuffle semi-join (explicit F.broadcast would bypass
+    # autoBroadcastJoinThreshold and could blow the driver / 8 GB cap).
     collision_stats = (
         all_edges.groupBy("bucket")
         .agg(F.count("*").alias("bn"))
@@ -223,11 +246,14 @@ def canonical_overrides(
     st = collision_stats.agg(
         F.count("*").alias("n_buckets"),
         F.coalesce(F.sum("bn"), F.lit(0)).alias("hot_edge_rows"),
+        F.coalesce(F.sum(F.octet_length("bucket")), F.lit(0)).alias("bucket_bytes"),
     ).collect()[0]
-    collision_buckets = collision_stats.select("bucket")
-    if st["n_buckets"] <= bucket_broadcast_limit:
-        collision_buckets = F.broadcast(collision_buckets)
-    hot_edges = all_edges.join(collision_buckets, "bucket", "left_semi")
+    hot_edges = _collision_semi_join(
+        all_edges,
+        collision_stats,
+        est_bytes=int(st["bucket_bytes"]) + 32 * int(st["n_buckets"]),
+        limit_bytes=bucket_broadcast_bytes,
+    )
     hot = hot_edges.select(
         "node_id", "fine_type", "surface", "k1", "k2"
     ).dropDuplicates(["node_id"])

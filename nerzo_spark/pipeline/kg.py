@@ -238,9 +238,11 @@ def _assert_narrow_from_extraction(df: DataFrame) -> None:
     double-emit triples.  The extraction boundary is the MapInPandas line
     carrying the extraction UDF's NAME (the plan prints the function's
     ``__name__``: "MapInPandas _nerzo_extract_link(...)"; anchoring on the
-    name — not on the first MapInPandas — means a caller-inserted
-    mapInPandas above a hidden shuffle cannot truncate the scan, the last
-    r4-ADVICE edge).  The full plan string is scanned — ``InMemoryRelation``
+    EXACT rendered form — operator + name + opening paren, not the first
+    MapInPandas or a substring of the name — means neither a caller-inserted
+    mapInPandas above a hidden shuffle (r4 ADVICE) nor a caller UDF whose
+    ``__name__`` merely contains the token (r5 ADVICE) can truncate the
+    scan).  The full plan string is scanned — ``InMemoryRelation``
     prints its cached child plan inline (verified on Spark 4.1), so a
     shuffle hidden inside a cached plan (caller repartitions THEN persists:
     the Exchange sits below the InMemoryTableScan line but above the
@@ -262,7 +264,7 @@ def _assert_narrow_from_extraction(df: DataFrame) -> None:
     lines = plan.splitlines()
     boundary_idx = None
     for i, ln in enumerate(lines):
-        if "MapInPandas" in ln and EXTRACT_UDF_PLAN_TOKEN in ln:
+        if EXTRACT_UDF_PLAN_TOKEN in ln:
             boundary_idx = i
             break
     boundary = boundary_idx is not None

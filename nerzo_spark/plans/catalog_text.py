@@ -435,6 +435,16 @@ def ngram_jaccard_top_pairs(spark, sf_dir):
 
 
 def _ngram_jaccard_pairs(d, df_cap: int = NGRAM_DF_CAP, logger=print):
+    """Top-20 n-gram Jaccard pairs per source.
+
+    NOTE (round 5 change, documented round 6): the returned DataFrame is
+    EAGER — the top-20 is computed here, round-tripped through the driver
+    (driver-sized by construction), and handed back as a driver-local Arrow
+    frame so the shingle-df cache can be released immediately.  A caller
+    composing this into a larger plan gets a tiny LocalRelation, not a lazy
+    view over the shingle pipeline — recomputation semantics differ from a
+    normal lazy DataFrame (re-executing the result does NOT re-scan the
+    corpus)."""
     from pyspark.storagelevel import StorageLevel
 
     sh0 = d.select(

@@ -16,7 +16,25 @@ forward/eval computations, which ARE Spark-shaped:
   table (score once, crossJoin the tiny trial table, aggregate per trial),
   and the top-5 by objective are returned — the 8-concurrent-worker /
   40-job ClearML fan-out becomes a single shuffle-free-until-the-vote
-  Spark job.
+  Spark job.  Round 6 (VERDICT r5 task 3): the sweep is MULTI-dimensional
+  like the reference's 11-dim grid — it varies the THREE hyperparameters
+  the engine actually exposes: the kNN vote size k
+  (`number_of_classification_neighbors` analog), the input_tokens vector
+  repr end vs start_end_pair (`fewnerd_processor.py:108-117`, F12), and
+  the link-acceptance threshold (the margin analog of
+  `contrastive_optimization_task.py:91`).  Both reprs' scores and ranks
+  are computed in the SAME pair pass, so adding dimensions — like adding
+  trials — never re-scans the corpus (plan-asserted in
+  tests/test_train_parity.py).
+- U8 over J3 ``u8_losses_over_j3`` (round 6, VERDICT r5 task 4) — the same
+  four loss forwards fed by the J3 contrastive batch builder
+  (`operators/negatives.py`), the way the reference computes them over
+  `yield_dataset`'s anchor/pos/neg batches (`fewnerd_processor.py:10-72`):
+  batches -> document texts -> the Arrow-batched hashing embedder ->
+  rank-aligned (anchor, positive, negative) triplets -> the shared loss
+  aggregate.  The embedder makes it non-SQL-expressible, so it registers
+  without an oracle (rows-only class); determinism + loss-identity checks
+  live in tests/test_train_parity.py.
 
 These live in their OWN registry, not `catalog._REGISTRY`: the driver's
 correctness gate caps at 50 queries and all 50 slots are taken by greener
@@ -31,10 +49,13 @@ Scale notes (100 TB posture):
 - every loss is a sum/avg/max composition → map-side partial aggregation;
   the DPR log-sum-exp terms are bounded (cos ∈ [-1, 1] ⇒ exp ≤ e) so no
   max-shift is needed;
-- the HPO sweep scores the corpus ONCE (the kNN table) and fans out only
-  the trial dimension (8 rows, broadcast) — adding trials costs one more
-  tiny dimension row, not another corpus scan; the per-trial vote is a
-  groupBy with partial combine.
+- the HPO sweep scores the corpus ONCE (one pair pass carrying BOTH reprs'
+  scores and ranks) and fans out only the trial dimension (8 rows,
+  broadcast) — adding trials or swept dimensions costs tiny dimension rows,
+  not another corpus scan; the per-trial vote is a groupBy with partial
+  combine.  The scorer here is the exact eval-tier broadcast pair rank; at
+  100 TB the scored table should come from the ANN candidate tier
+  (plans/catalog_vec.py ann_lsh_bucketed / catalog_ivf.py) instead.
 """
 
 from __future__ import annotations
@@ -134,6 +155,14 @@ def u8_contrastive_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_COS_SPARK.format(a="embedding", b="pos_emb")).alias("cp"),
         F.expr(_COS_SPARK.format(a="embedding", b="neg_emb")).alias("cn"),
     )
+    return _loss_agg(trip)
+
+
+def _loss_agg(trip: DataFrame) -> DataFrame:
+    """The four loss forwards of `contrastive/loss.py:33-70` as ONE global
+    aggregate over a (cp, cn) triplet table — every term a sum/avg, so the
+    whole evaluation map-side-combines.  Shared by the oracle-parity U8
+    (synthetic deterministic triplets) and the J3-fed U8 (real batches)."""
     hinge = F.greatest(F.lit(0.0), F.col("cn") - F.col("cp") + F.lit(0.5))
     pos_term = F.pow(F.greatest(F.lit(1.0) - F.col("cp"), F.lit(0.0)), 2)
     return trip.agg(
@@ -149,6 +178,71 @@ def u8_contrastive_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("u8_losses_over_j3", None)
+def u8_losses_over_j3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U8 fed by the J3 batch builder (VERDICT r5 task 4): the reference
+    computes its losses over `yield_dataset`'s anchor/pos/neg batches
+    (`contrastive/fewnerd_processor.py:10-72`), so the loss surface here is
+    wired end-to-end — J3 seeded batches over `documents` (anchor +
+    positives + hard/easy negatives, `operators/negatives.py`), document
+    texts embedded ONCE per distinct doc by the Arrow-batched hashing
+    embedder, positives rank-aligned with negatives (hard negatives first,
+    exactly the reference's hard_negative_ratio packing), then the shared
+    `_loss_agg`.  Non-SQL-expressible (the embedder is Python), hence no
+    oracle entry; tests assert finiteness, run-to-run determinism, and the
+    combined = triplet + contrastive identity.
+    """
+    from nerzo_spark.embed.embedder import embed_mentions
+    from nerzo_spark.operators.negatives import training_batches
+
+    import math
+
+    n_batches, batch_size, hard_ratio = 4, 5, 0.4
+    n_hard = math.ceil(hard_ratio * batch_size)  # = 2, same rule as J3
+    d = T(spark, sf_dir, "documents")
+    b = training_batches(
+        d, anchor_type="src0", n_batches=n_batches, batch_size=batch_size,
+        hard_negative_ratio=hard_ratio,
+    )
+    # embed each distinct doc once; the batch table is dimension-sized
+    # (<= n_batches * (1 + 3*batch_size) rows) so every join below broadcasts
+    docs = (
+        b.select("doc_id").distinct()
+        .join(d.select("doc_id", "text"), "doc_id")
+        .withColumn("_l", F.lit("")).withColumn("_r", F.lit(""))
+    )
+    embs = embed_mentions(
+        docs, surface_col="text", left_col="_l", right_col="_r"
+    ).select("doc_id", "emb")
+    be = b.join(embs, "doc_id")
+    anchors = be.filter(F.col("role") == "anchor").select(
+        "batch_id", F.col("emb").alias("a_emb")
+    )
+    pos = be.filter(F.col("role") == "positive").select(
+        "batch_id", "rnk", F.col("emb").alias("p_emb")
+    )
+    # negatives: hard first (rnk 1..n_hard), then easy (n_hard+1..batch_size)
+    # — the reference packs hard negatives at the front of the negative list
+    negs = be.filter(
+        F.col("role").isin("hard_negative", "easy_negative")
+    ).select(
+        "batch_id",
+        F.when(F.col("role") == "hard_negative", F.col("rnk"))
+        .otherwise(F.col("rnk") + n_hard)
+        .alias("rnk"),
+        F.col("emb").alias("n_emb"),
+    )
+    trip = (
+        pos.join(negs, ["batch_id", "rnk"])
+        .join(F.broadcast(anchors), "batch_id")
+        .select(
+            F.expr(_COS_SPARK.format(a="a_emb", b="p_emb")).alias("cp"),
+            F.expr(_COS_SPARK.format(a="a_emb", b="n_emb")).alias("cn"),
+        )
+    )
+    return _loss_agg(trip)
+
+
 # =========================================================================
 # O4 — HPO random search (contrastive_optimization_task.py:68-151)
 # =========================================================================
@@ -157,31 +251,144 @@ _N_TRIALS = 8  # the reference's max_number_of_concurrent_tasks (:102)
 _K_MAX = 15
 
 _O4_ORACLE = f"""
-WITH trials AS (
+WITH tot AS (SELECT count(*) AS n FROM embeddings),
+trials AS (
   SELECT CAST(i AS BIGINT) AS trial,
-         CAST(1 + ({md5_i64_duckdb("'hpo_' || CAST(i AS VARCHAR)")} % {_K_MAX}) AS INT) AS k
+         CAST(1 + ({md5_i64_duckdb("'hpo_' || CAST(i AS VARCHAR)")} % {_K_MAX}) AS INT) AS k,
+         CASE WHEN {md5_i64_duckdb("'hpor_' || CAST(i AS VARCHAR)")} % 2 = 0
+              THEN 'end' ELSE 'pair' END AS repr,
+         CAST({md5_i64_duckdb("'hpot_' || CAST(i AS VARCHAR)")} % 9 - 4 AS DOUBLE) / 20.0 AS thr
   FROM generate_series(0, {_N_TRIALS - 1}) AS t(i)),
+v AS (
+  SELECT vec_id, label, embedding,
+         list_concat(embedding,
+             coalesce(lead(embedding) OVER (PARTITION BY label ORDER BY vec_id),
+                      embedding)) AS pair_emb
+  FROM embeddings),
+scored0 AS (
+  SELECT a.vec_id AS qid, a.label AS qlab, b.vec_id AS nid, b.label AS nlab,
+         {_COS_DUCK.format(a='a.embedding', b='b.embedding')} AS cos_end,
+         {_COS_DUCK.format(a='a.pair_emb', b='b.pair_emb')} AS cos_pair
+  FROM v a JOIN v b ON a.vec_id <> b.vec_id),
 scored AS (
-  SELECT a.vec_id AS qid, a.label AS qlab, b.label AS nlab,
-         row_number() OVER (PARTITION BY a.vec_id ORDER BY
-             {_COS_DUCK.format(a='a.embedding', b='b.embedding')} DESC, b.vec_id) AS rn
-  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+  SELECT *,
+         row_number() OVER (PARTITION BY qid ORDER BY cos_end DESC, nid) AS rn_end,
+         row_number() OVER (PARTITION BY qid ORDER BY cos_pair DESC, nid) AS rn_pair
+  FROM scored0),
+cand AS (SELECT * FROM scored WHERE rn_end <= {_K_MAX} OR rn_pair <= {_K_MAX}),
 votes AS (
-  SELECT t.trial, t.k, s.qid, s.qlab, s.nlab, count(*) AS c
-  FROM trials t JOIN scored s ON s.rn <= t.k
-  GROUP BY t.trial, t.k, s.qid, s.qlab, s.nlab),
+  SELECT t.trial, t.k, t.repr, t.thr, c.qid, c.qlab, c.nlab, count(*) AS c
+  FROM trials t JOIN cand c
+    ON (CASE WHEN t.repr = 'end' THEN c.rn_end ELSE c.rn_pair END) <= t.k
+   AND round(CASE WHEN t.repr = 'end' THEN c.cos_end ELSE c.cos_pair END, 4) >= t.thr
+  GROUP BY t.trial, t.k, t.repr, t.thr, c.qid, c.qlab, c.nlab),
 pred AS (
-  SELECT trial, k, qlab, nlab,
+  SELECT trial, k, repr, thr, qlab, nlab,
          row_number() OVER (PARTITION BY trial, qid ORDER BY c DESC, nlab ASC) AS vr
   FROM votes),
 acc AS (
-  SELECT trial, k,
-         round(avg(CASE WHEN nlab = qlab THEN 1.0 ELSE 0.0 END), 6) AS accuracy
-  FROM pred WHERE vr = 1 GROUP BY trial, k)
+  SELECT trial, k, repr, thr,
+         round(CAST(sum(CASE WHEN nlab = qlab THEN 1 ELSE 0 END) AS DOUBLE)
+               / tot.n, 6) AS accuracy
+  FROM pred CROSS JOIN tot WHERE vr = 1 GROUP BY trial, k, repr, thr, tot.n)
 SELECT CAST(row_number() OVER (ORDER BY accuracy DESC, trial ASC) AS INT) AS hpo_rank,
-       trial, k, accuracy
+       trial, k, repr, thr, accuracy
 FROM acc ORDER BY accuracy DESC, trial ASC LIMIT 5
 """
+
+
+def _o4_trials(spark: SparkSession, n_trials: int) -> DataFrame:
+    """The md5-sampled trial grid: (trial, k, repr, thr) — the RandomSearch
+    draw over the three engine-exposed dimensions."""
+    return spark.range(n_trials).select(
+        F.col("id").alias("trial"),
+        (1 + F.expr(md5_i64_sql("concat('hpo_', CAST(id AS STRING))")) % _K_MAX)
+        .cast("int")
+        .alias("k"),
+        F.when(
+            F.expr(md5_i64_sql("concat('hpor_', CAST(id AS STRING))")) % 2 == 0,
+            F.lit("end"),
+        ).otherwise(F.lit("pair")).alias("repr"),
+        (
+            (F.expr(md5_i64_sql("concat('hpot_', CAST(id AS STRING))")) % 9 - 4)
+            .cast("double") / 20.0
+        ).alias("thr"),
+    )
+
+
+def _o4_plan(spark: SparkSession, sf_dir: str, n_trials: int) -> DataFrame:
+    """The O4 sweep plan with an injectable trial count — the parity entry
+    uses `_N_TRIALS`; tests build it at two trial counts to assert the
+    corpus-scan count is trial-invariant (score once, fan out dimensions)."""
+    e = T(spark, sf_dir, "embeddings")
+    tot = e.agg(F.count("*").alias("n"))
+    trials = _o4_trials(spark, n_trials)
+    # both reprs ride ONE pair pass: pair_emb = start_end_pair analog (F12,
+    # fewnerd_processor.py:108-117) — concat with the next same-label row's
+    # embedding (in-class pairing; last-in-label self-pairs), so the window
+    # is label-partitioned, never a single-partition global sort
+    w_lbl = Window.partitionBy("label").orderBy("vec_id")
+    v = e.select("vec_id", "label", "embedding").withColumn(
+        "pair_emb",
+        F.concat(
+            F.col("embedding"),
+            F.coalesce(F.lead("embedding").over(w_lbl), F.col("embedding")),
+        ),
+    )
+    q = v.select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlab"),
+        F.col("embedding").alias("q_emb"),
+        F.col("pair_emb").alias("q_pair"),
+    )
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "qlab",
+            F.col("vec_id").alias("nid"), F.col("label").alias("nlab"),
+            F.expr(_COS_SPARK.format(a="q_emb", b="embedding")).alias("cos_end"),
+            F.expr(_COS_SPARK.format(a="q_pair", b="pair_emb")).alias("cos_pair"),
+        )
+    )
+    w_end = Window.partitionBy("qid").orderBy(F.desc("cos_end"), F.asc("nid"))
+    w_pair = Window.partitionBy("qid").orderBy(F.desc("cos_pair"), F.asc("nid"))
+    cand = (
+        scored.withColumn("rn_end", F.row_number().over(w_end))
+        .withColumn("rn_pair", F.row_number().over(w_pair))
+        .filter((F.col("rn_end") <= _K_MAX) | (F.col("rn_pair") <= _K_MAX))
+    )
+    is_end = F.col("repr") == "end"
+    votes = (
+        cand.crossJoin(F.broadcast(trials))
+        .withColumn("rn", F.when(is_end, F.col("rn_end")).otherwise(F.col("rn_pair")))
+        .withColumn("s", F.when(is_end, F.col("cos_end")).otherwise(F.col("cos_pair")))
+        .filter((F.col("rn") <= F.col("k")) & (F.round("s", 4) >= F.col("thr")))
+        .groupBy("trial", "k", "repr", "thr", "qid", "qlab", "nlab")
+        .agg(F.count("*").alias("c"))
+    )
+    w_vote = Window.partitionBy("trial", "qid").orderBy(F.desc("c"), F.asc("nlab"))
+    pred = votes.withColumn("vr", F.row_number().over(w_vote)).filter(F.col("vr") == 1)
+    # accuracy over ALL queries (a query none of whose neighbors clear the
+    # acceptance threshold abstains and counts as wrong — coverage is part
+    # of the objective, like the reference's global metric)
+    acc = (
+        pred.crossJoin(F.broadcast(tot))
+        .groupBy("trial", "k", "repr", "thr", "n")
+        .agg(
+            F.round(
+                F.sum((F.col("nlab") == F.col("qlab")).cast("int")).cast("double")
+                / F.col("n").cast("double"),
+                6,
+            ).alias("accuracy")
+        )
+    )
+    w_rank = Window.orderBy(F.desc("accuracy"), F.asc("trial"))
+    return (
+        acc.withColumn("hpo_rank", F.row_number().over(w_rank).cast("int"))
+        .filter(F.col("hpo_rank") <= 5)
+        .select("hpo_rank", "trial", "k", "repr", "thr", "accuracy")
+    )
 
 
 @_register("o4_hpo_sweep", _O4_ORACLE)
@@ -190,45 +397,26 @@ def o4_hpo_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample hyperparameter configs, evaluate each trial's objective, return
     the top-5 (`get_top_experiments(top_k=5)`, `:151`).
 
-    The swept config is the retrieval hyperparameter our engine actually
-    exposes — the kNN vote size k, drawn per trial from the portable md5
-    generator (≡ the reference's RandomSearch over its grid).  Objective =
-    leave-one-out k-majority-vote label accuracy (the auc-series analog on
-    this surface, maximized like `objective_metric_sign='max_global'`).
+    Three swept dimensions per trial, drawn from the portable md5 generator
+    (≡ the reference's RandomSearch over its grid, which spans
+    `number_of_classification_neighbors`, `input_tokens`, margins and more,
+    `:78-92`):
 
-    Plan shape: the corpus is SCORED ONCE (kNN table at k_max); trials are
-    a broadcast 8-row dimension crossed against it; the vote and accuracy
-    are groupBy partial aggregates.  Adding trials never re-scans the
-    corpus — the ClearML 8-worker fan-out becomes one shared-scan plan.
+    - k ∈ [1, 15] — vote size (`number_of_classification_neighbors`);
+    - repr ∈ {end, start_end_pair} — the F12 input_tokens vector repr
+      (`fewnerd_processor.py:108-117`);
+    - thr ∈ [-0.2, 0.2] step 0.05 — link-acceptance cosine threshold (the
+      margin analog of `contrastive_optimization_task.py:91`); neighbors
+      below it abstain, and abstentions count against accuracy.
+
+    Objective = leave-one-out k-majority-vote label accuracy over all
+    queries, maximized like `objective_metric_sign='max_global'`.
+
+    Plan shape: the corpus is SCORED ONCE — a single pair pass computes both
+    reprs' cosines and both rank columns; trials are a broadcast 8-row
+    dimension crossed against it, and every per-trial quantity is a groupBy
+    partial aggregate.  Adding trials or dimensions never re-scans the
+    corpus (tests assert the scan count is identical at 2 and 16 trials) —
+    the ClearML 8-worker fan-out becomes one shared-scan plan.
     """
-    from nerzo_spark.operators.topk import knn_self_join
-
-    e = T(spark, sf_dir, "embeddings")
-    trials = spark.range(_N_TRIALS).select(
-        F.col("id").alias("trial"),
-        (1 + F.expr(md5_i64_sql("concat('hpo_', CAST(id AS STRING))")) % _K_MAX)
-        .cast("int")
-        .alias("k"),
-    )
-    knn = knn_self_join(e, k=_K_MAX)
-    votes = (
-        knn.crossJoin(F.broadcast(trials))
-        .filter(F.col("rank") <= F.col("k"))
-        .groupBy("trial", "k", "query_id", "query_label", "neighbor_label")
-        .agg(F.count("*").alias("c"))
-    )
-    w_vote = Window.partitionBy("trial", "query_id").orderBy(
-        F.desc("c"), F.asc("neighbor_label")
-    )
-    pred = votes.withColumn("vr", F.row_number().over(w_vote)).filter(F.col("vr") == 1)
-    acc = pred.groupBy("trial", "k").agg(
-        F.round(
-            F.avg((F.col("neighbor_label") == F.col("query_label")).cast("double")), 6
-        ).alias("accuracy")
-    )
-    w_rank = Window.orderBy(F.desc("accuracy"), F.asc("trial"))
-    return (
-        acc.withColumn("hpo_rank", F.row_number().over(w_rank).cast("int"))
-        .filter(F.col("hpo_rank") <= 5)
-        .select("hpo_rank", "trial", "k", "accuracy")
-    )
+    return _o4_plan(spark, sf_dir, _N_TRIALS)

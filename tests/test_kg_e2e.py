@@ -169,6 +169,23 @@ def test_file_local_dedup_tripwire(spark, fixture_small, kg_result, tmp_path):
         typed.mapInPandas(_caller_passthrough, schema=typed.schema)
     )
 
+    # hazard 4 (ADVICE r5): a caller UDF whose __name__ merely CONTAINS the
+    # extraction token, above a hidden shuffle — a substring-of-name match
+    # would take the caller's line as the boundary and mask the Exchange;
+    # the exact-rendered-form anchor ("MapInPandas _nerzo_extract_link(")
+    # must not be fooled by either a prefixed or a suffixed name
+    def my_nerzo_extract_link_passthrough(batches):
+        yield from batches
+
+    def _nerzo_extract_link_wrapper(batches):
+        yield from batches
+
+    for impostor in (my_nerzo_extract_link_passthrough,
+                     _nerzo_extract_link_wrapper):
+        masked2 = typed.repartition(8).mapInPandas(impostor, schema=typed.schema)
+        with pytest.raises(ValueError, match="narrow"):
+            _assert_narrow_from_extraction(masked2)
+
 
 def test_corpus_duplicate_files_checker(spark, fixture_small):
     """The opt-in uniqueness checker (ADVICE r4/r5): clean fixture corpus ->

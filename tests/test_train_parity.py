@@ -8,9 +8,15 @@ import pytest
 
 from nerzo_spark.plans import catalog_train
 
-from tests.oracle_harness import compare, duck_con
+from tests.oracle_harness import compare, compare_tolerant, duck_con
 
 SF_DIR = "/root/testdata/sf0.001"
+
+# U8's loss cells are float SUMS accumulated in different orders on the two
+# engines (e.g. sum(exp(cp))) — exact rounded equality flips when a value
+# lands within 1 ulp of a 6-dp rounding boundary (ADVICE r5), so it gets the
+# tolerant float compare; everything else stays hash-exact like the driver.
+_TOLERANT = {"u8_contrastive_losses"}
 
 
 @pytest.fixture(scope="module")
@@ -22,7 +28,8 @@ def con():
 def test_train_parity(spark, con, name):
     fn = catalog_train.queries()[name]
     sql = catalog_train.oracle_sql()[name]
-    ok, msg = compare(fn(spark, SF_DIR), con, sql)
+    cmp = compare_tolerant if name in _TOLERANT else compare
+    ok, msg = cmp(fn(spark, SF_DIR), con, sql)
     assert ok, f"{name}: {msg}"
 
 
@@ -32,6 +39,52 @@ def test_o4_returns_ranked_top5(spark):
     accs = [r["accuracy"] for r in rows]
     assert accs == sorted(accs, reverse=True)
     assert all(1 <= r["k"] <= 15 for r in rows)
+    assert all(r["repr"] in ("end", "pair") for r in rows)
+    assert all(-0.2 - 1e-9 <= r["thr"] <= 0.2 + 1e-9 for r in rows)
+
+
+def test_o4_sweeps_three_dimensions(spark):
+    """The 8-trial grid must actually vary all three hyperparameters
+    (VERDICT r5 task 3: >= 3 swept dimensions)."""
+    trials = catalog_train._o4_trials(spark, catalog_train._N_TRIALS).collect()
+    assert len({t["k"] for t in trials}) >= 2
+    assert len({t["repr"] for t in trials}) == 2
+    assert len({t["thr"] for t in trials}) >= 2
+
+
+def _scan_count(df) -> int:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue().count("Scan parquet")
+
+
+def test_o4_scan_count_is_trial_invariant(spark):
+    """Score once, fan out the trial dimension: the number of corpus scans
+    in the physical plan must not depend on the trial count."""
+    n2 = _scan_count(catalog_train._o4_plan(spark, SF_DIR, 2))
+    n16 = _scan_count(catalog_train._o4_plan(spark, SF_DIR, 16))
+    assert n2 == n16
+    # small constant: pair-repr view on each join side + tot count (the
+    # lead-window view is not exchange-reused across the self-join sides);
+    # the invariant above is the load-bearing claim — 16 trials, 6 scans
+    assert n16 <= 6
+
+
+def test_u8_over_j3_deterministic_and_consistent(spark):
+    """VERDICT r5 task 4: U8 fed from the J3 batch builder — finite,
+    deterministic across two runs, combined = triplet + contrastive."""
+    q = catalog_train.queries()["u8_losses_over_j3"]
+    r1 = q(spark, SF_DIR).collect()[0]
+    r2 = q(spark, SF_DIR).collect()[0]
+    assert r1 == r2
+    assert r1["n_triplets"] > 0
+    for c in ("triplet_loss", "dpr_loss", "contrastive_loss", "combined_loss"):
+        assert r1[c] == r1[c] and r1[c] is not None  # finite (not NaN/NULL)
+    assert abs(r1["combined_loss"] - (r1["triplet_loss"] + r1["contrastive_loss"])) < 2e-6
 
 
 def test_u8_losses_are_finite_and_consistent(spark):
