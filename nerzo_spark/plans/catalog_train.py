@@ -53,9 +53,10 @@ Scale notes (100 TB posture):
   scores and ranks) and fans out only the trial dimension (8 rows,
   broadcast) — adding trials or swept dimensions costs tiny dimension rows,
   not another corpus scan; the per-trial vote is a groupBy with partial
-  combine.  The scorer here is the exact eval-tier broadcast pair rank; at
-  100 TB the scored table should come from the ANN candidate tier
-  (plans/catalog_vec.py ann_lsh_bucketed / catalog_ivf.py) instead.
+  combine.  ``o4_hpo_sweep`` scores with the exact eval-tier broadcast
+  pair rank; ``o4_hpo_sweep_lsh`` (round 6) is the 100 TB tier — the SAME
+  sweep over an LSH-bucketed candidate equi-join (catalog_vec's
+  deterministic hyperplanes), with its own exact DuckDB twin.
 """
 
 from __future__ import annotations
@@ -67,7 +68,7 @@ from pyspark.sql import functions as F
 
 from nerzo_spark.functions.hashing import md5_i64_duckdb, md5_i64_sql
 from nerzo_spark.plans.catalog import T, QueryFn
-from nerzo_spark.plans.catalog_vec import _COS_DUCK, _COS_SPARK
+from nerzo_spark.plans.catalog_vec import _COS_DUCK, _COS_SPARK, _bucket_expr
 
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
 
@@ -250,7 +251,21 @@ def u8_losses_over_j3(spark: SparkSession, sf_dir: str) -> DataFrame:
 _N_TRIALS = 8  # the reference's max_number_of_concurrent_tasks (:102)
 _K_MAX = 15
 
-_O4_ORACLE = f"""
+def _o4_oracle(candidate_tier: str) -> str:
+    """The O4 DuckDB twin, parameterized by the candidate tier:
+
+    - ``"exact"`` — all-pairs (``a.vec_id <> b.vec_id``), the eval-tier twin;
+    - ``"lsh"``   — same-hyperplane-bucket pairs only, the scale-tier twin
+      (the 4 md5-derived planes of catalog_vec are deterministic, so the
+      approximate tier has an EXACT oracle too).
+    """
+    if candidate_tier == "lsh":
+        bucket_col = f", {_bucket_expr('duck', 'embedding')} AS bucket"
+        join_on = "a.vec_id <> b.vec_id AND a.bucket = b.bucket"
+    else:
+        bucket_col = ""
+        join_on = "a.vec_id <> b.vec_id"
+    return f"""
 WITH tot AS (SELECT count(*) AS n FROM embeddings),
 trials AS (
   SELECT CAST(i AS BIGINT) AS trial,
@@ -263,13 +278,13 @@ v AS (
   SELECT vec_id, label, embedding,
          list_concat(embedding,
              coalesce(lead(embedding) OVER (PARTITION BY label ORDER BY vec_id),
-                      embedding)) AS pair_emb
+                      embedding)) AS pair_emb{bucket_col}
   FROM embeddings),
 scored0 AS (
   SELECT a.vec_id AS qid, a.label AS qlab, b.vec_id AS nid, b.label AS nlab,
          {_COS_DUCK.format(a='a.embedding', b='b.embedding')} AS cos_end,
          {_COS_DUCK.format(a='a.pair_emb', b='b.pair_emb')} AS cos_pair
-  FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+  FROM v a JOIN v b ON {join_on}),
 scored AS (
   SELECT *,
          row_number() OVER (PARTITION BY qid ORDER BY cos_end DESC, nid) AS rn_end,
@@ -297,6 +312,9 @@ FROM acc ORDER BY accuracy DESC, trial ASC LIMIT 5
 """
 
 
+_O4_ORACLE = _o4_oracle("exact")
+
+
 def _o4_trials(spark: SparkSession, n_trials: int) -> DataFrame:
     """The md5-sampled trial grid: (trial, k, repr, thr) — the RandomSearch
     draw over the three engine-exposed dimensions."""
@@ -316,10 +334,27 @@ def _o4_trials(spark: SparkSession, n_trials: int) -> DataFrame:
     )
 
 
-def _o4_plan(spark: SparkSession, sf_dir: str, n_trials: int) -> DataFrame:
+def _o4_plan(
+    spark: SparkSession,
+    sf_dir: str,
+    n_trials: int,
+    candidate_tier: str = "exact",
+) -> DataFrame:
     """The O4 sweep plan with an injectable trial count — the parity entry
     uses `_N_TRIALS`; tests build it at two trial counts to assert the
-    corpus-scan count is trial-invariant (score once, fan out dimensions)."""
+    corpus-scan count is trial-invariant (score once, fan out dimensions).
+
+    ``candidate_tier``:
+
+    - ``"exact"`` — all-pairs broadcast rank (eval tier; the corpus side of
+      the pair pass is broadcast, right for eval-sized query sets);
+    - ``"lsh"``   — candidates restricted to the same md5-hyperplane sign
+      bucket (catalog_vec's 4 planes) and joined by a bucket EQUI-join with
+      no broadcast hint: the 100 TB tier, where neither pair side fits an
+      executor and candidate generation must shuffle on a key, never
+      cross-join.  More planes at larger corpora keep buckets
+      executor-sized (same posture as ``ann_lsh_bucketed``).
+    """
     e = T(spark, sf_dir, "embeddings")
     tot = e.agg(F.count("*").alias("n"))
     trials = _o4_trials(spark, n_trials)
@@ -335,21 +370,28 @@ def _o4_plan(spark: SparkSession, sf_dir: str, n_trials: int) -> DataFrame:
             F.coalesce(F.lead("embedding").over(w_lbl), F.col("embedding")),
         ),
     )
+    if candidate_tier == "lsh":
+        v = v.withColumn("bucket", F.expr(_bucket_expr("spark", "embedding")))
     q = v.select(
         F.col("vec_id").alias("qid"),
         F.col("label").alias("qlab"),
         F.col("embedding").alias("q_emb"),
         F.col("pair_emb").alias("q_pair"),
+        *([F.col("bucket").alias("q_bucket")] if candidate_tier == "lsh" else []),
     )
-    scored = (
-        v.crossJoin(F.broadcast(q))
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid", "qlab",
-            F.col("vec_id").alias("nid"), F.col("label").alias("nlab"),
-            F.expr(_COS_SPARK.format(a="q_emb", b="embedding")).alias("cos_end"),
-            F.expr(_COS_SPARK.format(a="q_pair", b="pair_emb")).alias("cos_pair"),
+    if candidate_tier == "lsh":
+        pairs = v.join(
+            q,
+            (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("vec_id") != F.col("qid")),
         )
+    else:
+        pairs = v.crossJoin(F.broadcast(q)).filter(F.col("vec_id") != F.col("qid"))
+    scored = pairs.select(
+        "qid", "qlab",
+        F.col("vec_id").alias("nid"), F.col("label").alias("nlab"),
+        F.expr(_COS_SPARK.format(a="q_emb", b="embedding")).alias("cos_end"),
+        F.expr(_COS_SPARK.format(a="q_pair", b="pair_emb")).alias("cos_pair"),
     )
     w_end = Window.partitionBy("qid").orderBy(F.desc("cos_end"), F.asc("nid"))
     w_pair = Window.partitionBy("qid").orderBy(F.desc("cos_pair"), F.asc("nid"))
@@ -420,3 +462,24 @@ def o4_hpo_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ClearML 8-worker fan-out becomes one shared-scan plan.
     """
     return _o4_plan(spark, sf_dir, _N_TRIALS)
+
+
+@_register("o4_hpo_sweep_lsh", _o4_oracle("lsh"))
+def o4_hpo_sweep_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4 at the SCALE tier (round 6, VERDICT r5 watch item): the same
+    three-dimensional HPO sweep, but the shared scored table comes from the
+    LSH candidate tier — pairs restricted to the same md5-hyperplane sign
+    bucket and generated by a bucket equi-join (shuffle on the bucket key),
+    not an all-pairs broadcast.  This is the plan shape O4 needs at 100 TB:
+    candidate generation cost is sum-of-bucket-squares, each bucket stays
+    executor-sized (grow the plane count with the corpus), and the trial
+    fan-out is unchanged — score once, cross a broadcast 8-row grid.
+
+    The 4 hyperplanes are deterministic (md5-derived, catalog_vec), so this
+    approximate tier still has an EXACT DuckDB twin: the oracle applies the
+    identical bucket restriction.  Accuracy values differ from
+    ``o4_hpo_sweep`` by construction (fewer candidates ⇒ more abstentions);
+    the parity test pins OUR semantics, and a plan test pins the no-cross-
+    join shape (`tests/test_train_parity.py`).
+    """
+    return _o4_plan(spark, sf_dir, _N_TRIALS, candidate_tier="lsh")

@@ -33,8 +33,9 @@ def test_train_parity(spark, con, name):
     assert ok, f"{name}: {msg}"
 
 
-def test_o4_returns_ranked_top5(spark):
-    rows = catalog_train.queries()["o4_hpo_sweep"](spark, SF_DIR).collect()
+@pytest.mark.parametrize("name", ["o4_hpo_sweep", "o4_hpo_sweep_lsh"])
+def test_o4_returns_ranked_top5(spark, name):
+    rows = catalog_train.queries()[name](spark, SF_DIR).collect()
     assert [r["hpo_rank"] for r in rows] == [1, 2, 3, 4, 5]
     accs = [r["accuracy"] for r in rows]
     assert accs == sorted(accs, reverse=True)
@@ -72,6 +73,39 @@ def test_o4_scan_count_is_trial_invariant(spark):
     # lead-window view is not exchange-reused across the self-join sides);
     # the invariant above is the load-bearing claim — 16 trials, 6 scans
     assert n16 <= 6
+
+
+def test_o4_lsh_tier_has_no_cross_join(spark):
+    """The scale-tier scorer must generate candidates by a bucket EQUI-join:
+    no cartesian / broadcast-nested-loop pair pass anywhere in the physical
+    plan (that is exactly what the lsh tier exists to avoid at 100 TB)."""
+    import contextlib
+    import io
+
+    def plan_of(tier):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            catalog_train._o4_plan(spark, SF_DIR, 2, candidate_tier=tier).explain(
+                "formatted"
+            )
+        return buf.getvalue()
+
+    lsh, exact = plan_of("lsh"), plan_of("exact")
+    assert "CartesianProduct" not in lsh
+    # the pair pass is an equi-join keyed on the hyperplane bucket (a
+    # BroadcastHashJoin at sf0.001; the same plan shuffles to SMJ/SHJ when
+    # neither side fits an executor — key-joinable either way)
+    assert "bucket#" in lsh and "Left keys [1]: [bucket#" in lsh
+    # the only nested-loop joins left are the dimension fan-outs (8-row
+    # trial grid + 1-row corpus count) — one FEWER than the exact tier,
+    # whose pair pass is itself the extra nested-loop join
+    import re
+
+    def bnlj_nodes(plan):
+        return len(set(re.findall(r"\((\d+)\) BroadcastNestedLoopJoin", plan)))
+
+    assert bnlj_nodes(lsh) == bnlj_nodes(exact) - 1
+    assert "Left keys [1]: [bucket#" not in exact
 
 
 def test_u8_over_j3_deterministic_and_consistent(spark):
