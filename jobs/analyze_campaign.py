@@ -1,6 +1,7 @@
-"""Pool a campaign JSON-lines log into per-config minima + efficiencies.
+"""Pool campaign JSON-lines logs into per-config minima + efficiencies.
 
-Usage: python jobs/analyze_campaign.py /tmp/campaign_r6.log
+Usage: python jobs/analyze_campaign.py /tmp/campaign_r6.log [more.log ...]
+(multiple logs are pooled into one sample set — same-protocol runs only)
 
 Groups samples by (tag, files, stage, want-executors), reports n/min/all
 walls and throughput-at-min, then derives the pairwise scaling
@@ -14,17 +15,19 @@ import sys
 from collections import defaultdict
 
 
-def main(path: str) -> None:
+def main(*paths: str) -> None:
     groups: dict[tuple, list[dict]] = defaultdict(list)
-    for ln in open(path):
-        ln = ln.strip()
-        if not ln.startswith("{"):
-            continue
-        r = json.loads(ln)
-        if "sec" not in r:
-            continue
-        key = (r.get("tag", ""), r["files"], r["stage"], r.get("want", r["executors"]))
-        groups[key].append(r)
+    for path in paths:
+        for ln in open(path):
+            ln = ln.strip()
+            if not ln.startswith("{"):
+                continue
+            r = json.loads(ln)
+            if "sec" not in r:
+                continue
+            key = (r.get("tag", ""), r["files"], r["stage"],
+                   r.get("want", r["executors"]))
+            groups[key].append(r)
 
     best: dict[tuple, dict] = {}
     for key in sorted(groups):
@@ -50,4 +53,4 @@ def main(path: str) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/campaign_r6.log")
+    main(*(sys.argv[1:] or ["/tmp/campaign_r6.log"]))
