@@ -51,11 +51,11 @@ def sample(execs, corpus, files, stage, tag="", gate=2.0):
 cycle = 0
 while time.time() < DEADLINE:
     cycle += 1
-    # storm-biased floors first, while the window (if any) is freshest
+    # the 4-exec fine sample is the 1.6M curve's linchpin (per-core rates
+    # at p256/3.2M predict ~59-64 s quiet): give it the freshest window
+    sample(4, C16_FINE, 1600000, "full", tag="curve16_fine")
     sample(4, C16, 1600000, "full", tag="curve16")
     sample(4, C32, 3200000, "full", tag="curve32")
-    # tuned-partitioning curve (4 first; 1-exec is the long tail)
-    sample(4, C16_FINE, 1600000, "full", tag="curve16_fine")
     sample(2, C16_FINE, 1600000, "full", tag="curve16_fine")
     # 3.2M curve interior + tail (r6 floors rest on 1-2 samples each)
     sample(2, C32, 3200000, "full", tag="curve32")
