@@ -30,6 +30,33 @@ LINK_SCHEMA = (
 )
 
 
+def topk_desc_stable(scores: np.ndarray, kk: int) -> np.ndarray:
+    """Exact drop-in for ``np.argsort(-scores, axis=1, kind="stable")[:, :kk]``.
+
+    argpartition is O(m) per row vs O(m log m) for the full stable sort —
+    at m = 20k neighbors the sort dominated the whole kNN stage (measured
+    10.1 s argsort vs 1.7 s GEMM per 3.3k-row batch).  Selection by
+    argpartition is index-arbitrary among equal scores, so equality of the
+    boundary value is detected per row and only those rows fall back to the
+    full stable sort; within the selected set, candidates are ordered index-
+    ascending first so the stable score sort reproduces the index tie-break.
+    """
+    n, m = scores.shape
+    if kk >= m:
+        return np.argsort(-scores, axis=1, kind="stable")
+    part = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+    rows = np.arange(n)[:, None]
+    cand = np.sort(part, axis=1)  # index-ascending => stable sort ties by index
+    cs = scores[rows, cand]
+    order = np.argsort(-cs, axis=1, kind="stable")
+    top = cand[rows, order]
+    kth = scores[rows[:, 0], top[:, -1]]  # smallest selected score per row
+    ambiguous = np.nonzero((scores >= kth[:, None]).sum(axis=1) > kk)[0]
+    for r in ambiguous:
+        top[r] = np.argsort(-scores[r], kind="stable")[:kk]
+    return top
+
+
 def link_topk(
     mentions: DataFrame,
     catalog: list[dict],
@@ -122,6 +149,16 @@ def knn_self_join(
     src = vectors.select(*cols)
     n = src.count()
     n_chunks = max(1, -(-n // chunk_rows))
+    # Parallelism repair (guide §2.5 input skew): vector tables often arrive
+    # as one parquet row group, which pins the WHOLE O(n^2) scoring pass to a
+    # single task regardless of split settings.  The query side is narrow
+    # (id, vec, label), so a round-robin exchange is tiny next to the GEMM it
+    # parallelizes.  Scale-adaptive: derived from n and the session's core
+    # count, never a local constant.
+    cores = max(vectors.sparkSession.sparkContext.defaultParallelism, 1)
+    q_parts = max(1, min(max(cores, -(-n // 1024)), 4 * cores, n))
+    if src.rdd.getNumPartitions() < q_parts:
+        src = src.repartition(q_parts)
     if n_chunks > 1:
         src = src.persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -147,7 +184,7 @@ def knn_self_join(
                     if j is not None:
                         scores[r, j] = -np.inf
                 kk = min(kk_cap, scores.shape[1])
-                top = np.argsort(-scores, axis=1, kind="stable")[:, :kk]
+                top = topk_desc_stable(scores, kk)
                 nrow = len(pdf)
                 sel = scores[np.arange(nrow)[:, None], top]
                 keep = np.isfinite(sel).ravel()

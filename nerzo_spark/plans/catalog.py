@@ -52,6 +52,24 @@ def T(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def T_par(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Like :func:`T` but with scan parallelism repaired (guide §2.5 input
+    skew): the sf parquet tables ship as ONE row group, so every split but
+    one is empty and any compute-heavy map side (explode + md5 per shingle,
+    per-pair cosine, posexplode folds) runs in a single task regardless of
+    maxPartitionBytes.  When the scan arrives with fewer partitions than the
+    session's core count, round-robin repartition — the narrow exchange is
+    tiny next to the per-row compute it parallelizes.  Scale-adaptive: a
+    properly laid-out corpus (many row groups / files) already exceeds the
+    target and is left untouched; use :func:`T` for scan-dominated queries
+    where an extra exchange would only add cost."""
+    d = T(spark, sf_dir, name)
+    target = max(spark.sparkContext.defaultParallelism, 8)
+    if d.rdd.getNumPartitions() < target:
+        d = d.repartition(target)
+    return d
+
+
 # =========================================================================
 # §2.2 Projections / filters / predicates
 # =========================================================================
@@ -326,7 +344,8 @@ def j4_token_overlap_score(spark, sf_dir):
     operators/negatives.py.  Sentinels (-1 / NULL) pad the non-applicable
     columns of each part."""
     d = T(spark, sf_dir, "documents")
-    toks = d.select(
+    # T_par: the distinct-token explode is the heavy map side (guide §2.5)
+    toks = T_par(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.explode(F.array_distinct(F.split("text", r"\s+"))).alias("tok")
     )
     anchor = toks.filter(F.col("doc_id") == 0).select(F.col("tok").alias("a_tok"))

@@ -18,8 +18,8 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from nerzo_spark.functions.hashing import md5_i64_duckdb, md5_i64_sql
-from nerzo_spark.plans.catalog import T, register
-from nerzo_spark.plans.catalog_vec import _COS_DUCK, _COS_SPARK
+from nerzo_spark.plans.catalog import T, T_par, register
+from nerzo_spark.plans.catalog_vec import _COS_DUCK, _COS_SPARK, _DOT_SPARK, _NORM_SPARK
 
 N_CENTROIDS = 8
 NPROBE = 2
@@ -61,8 +61,19 @@ def ann_ivf_probe(spark, sf_dir):
     nprobe=2 cell probing, exact cosine re-rank within the probed cells.
 
     The cosine stays the same sequential-fold SQL expression as the DuckDB
-    oracle (bit-identical sums), so assignment ties resolve identically."""
-    e = T(spark, sf_dir, "embeddings")
+    oracle (bit-identical sums), so assignment ties resolve identically.
+
+    r7 (guide §1.2/§2.5): T_par repairs the single-row-group scan skew;
+    each centroid's norm is precomputed in PYTHON with the identical
+    sequential sum-of-squares fold + IEEE sqrt (bit-identical double), and
+    the row's own norm is computed once instead of once per centroid —
+    per-row assignment work drops from 8 cosines x 3 folds to 8 dot folds
+    + 1 norm fold; the probe-join cosine is factored the same way.  Every
+    scalar op sequence is unchanged, so assignments, ranks and ties are
+    bit-identical to the _COS_SPARK form."""
+    import math
+
+    e = T_par(spark, sf_dir, "embeddings")
     cent_rows = (
         e.select(
             "vec_id", "embedding", F.md5(F.col("vec_id").cast("string")).alias("h")
@@ -75,10 +86,18 @@ def ann_ivf_probe(spark, sf_dir):
     def _lit_arr(vals) -> str:
         return "array(" + ", ".join(repr(float(v)) + "D" for v in vals) + ")"
 
+    def _norm_py(vals) -> float:
+        s = 0.0
+        for v in vals:
+            x = float(v)
+            s = s + x * x
+        return math.sqrt(s)
+
+    e = e.withColumn("n_e", F.expr(_NORM_SPARK.format(v="embedding")))
     sims = ", ".join(
-        "named_struct('sim', "
-        + _COS_SPARK.format(a="embedding", b=_lit_arr(r["embedding"]))
-        + f", 'cell', {cell})"
+        "named_struct('sim', ("
+        + _DOT_SPARK.format(a="embedding", b=_lit_arr(r["embedding"]))
+        + f") / (n_e * {repr(_norm_py(r['embedding']))}D), 'cell', {cell})"
         for cell, r in enumerate(cent_rows, start=1)
     )
     sorted_cells = (
@@ -87,13 +106,14 @@ def ann_ivf_probe(spark, sf_dir):
     )
     assigned = e.withColumn("cells", F.expr(sorted_cells))
     cells = assigned.select(
-        "vec_id", "embedding", F.expr("cells[0].cell").alias("cell")
+        "vec_id", "embedding", "n_e", F.expr("cells[0].cell").alias("cell")
     )
     probes = (
         assigned.filter(F.col("vec_id") < 8)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
+            F.col("n_e").alias("n_q"),
             F.explode(F.expr(f"transform(slice(cells, 1, {NPROBE}), c -> c.cell)")).alias("cell"),
         )
     )
@@ -101,7 +121,11 @@ def ann_ivf_probe(spark, sf_dir):
     return (
         probes.join(cells, "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("s", F.expr(_COS_SPARK.format(a="q_emb", b="embedding")))
+        .withColumn(
+            "s",
+            F.expr(_DOT_SPARK.format(a="q_emb", b="embedding"))
+            / (F.col("n_q") * F.col("n_e")),
+        )
         .withColumn("rank", F.row_number().over(w_rank))
         .filter(F.col("rank") <= 3)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank")

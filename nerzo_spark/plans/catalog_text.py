@@ -16,13 +16,18 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from nerzo_spark.functions.hashing import md5_i64_duckdb, md5_i64_sql
-from nerzo_spark.plans.catalog import T, register
+from nerzo_spark.plans.catalog import T, T_par, register
 
 _TOK = r"\s+"
 
 
 def _tk(col="text"):
     return F.split(F.col(col), _TOK)
+
+
+def _docs_par(spark, sf_dir):
+    """`documents` via :func:`T_par` — see catalog.py (guide §2.5)."""
+    return T_par(spark, sf_dir, "documents")
 
 
 # --- F6 parse chain ---------------------------------------------------------
@@ -140,15 +145,26 @@ def e6_confusion_langid(spark, sf_dir):
     """E6 + language-ID: stopword-marker n-gram heuristic -> predicted lang,
     confusion matrix vs actual (poc_fewnerd_extraction.py:185-195 shape).
     Deterministic tie-break: hits desc, lang name asc."""
-    d = T(spark, sf_dir, "documents")
+    # ONE scan + stack instead of |langs| unioned scans: the union form
+    # re-read and re-tokenized `documents` once per language (5 scans, each
+    # single-task on a one-row-group input); per-(doc, lang) hit values are
+    # the identical expression, so the row multiset is unchanged.
+    d = _docs_par(spark, sf_dir)
     tk = _tk()
-    cands = None
-    for lang, words in sorted(_LANG_MARKERS.items()):
-        hits = F.size(F.filter(tk, lambda t: t.isin(words)))
-        c = d.select(
-            "doc_id", "lang", F.lit(lang).alias("plang"), hits.alias("hits")
-        )
-        cands = c if cands is None else cands.unionByName(c)
+    langs = sorted(_LANG_MARKERS.items())
+    def _hits(words):
+        # closure (not a default arg): F.filter reads the lambda's arity, so
+        # a second parameter would be bound to the element INDEX column
+        return F.size(F.filter(tk, lambda t: t.isin(words)))
+
+    hit_cols = [
+        _hits(words).alias(f"h_{i}") for i, (_, words) in enumerate(langs)
+    ]
+    stack_args = ", ".join(f"'{lang}', h_{i}" for i, (lang, _) in enumerate(langs))
+    cands = d.select("doc_id", "lang", *hit_cols).select(
+        "doc_id", "lang",
+        F.expr(f"stack({len(langs)}, {stack_args}) AS (plang, hits)"),
+    )
     w = Window.partitionBy("doc_id").orderBy(F.desc("hits"), "plang")
     return (
         cands.withColumn("rn", F.row_number().over(w))
@@ -275,7 +291,7 @@ def _shingles_exploded(spark, sf_dir):
     The token array is materialized ONCE per row in its own Project —
     inlining `split(text)` into the transform lambda re-evaluated it per
     shingle index (O(tokens^2) per doc; measured ~3x the stage time)."""
-    d = T(spark, sf_dir, "documents")
+    d = _docs_par(spark, sf_dir)
     shingle_from_toks = (
         "transform(sequence(1, greatest(size(toks) - 2, 1)),"
         " i -> concat_ws(' ', element_at(toks, i),"
@@ -370,7 +386,7 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
 def dedup_simhash16(spark, sf_dir):
     """SimHash (16-bit) per document from distinct tokens; md5-derived bit
     votes so both engines agree bit-for-bit."""
-    d = T(spark, sf_dir, "documents")
+    d = _docs_par(spark, sf_dir)
     tok = d.select(
         "doc_id", F.explode(F.array_distinct(_tk())).alias("t")
     ).withColumn("hv", F.expr(md5_i64_sql("t")))
@@ -430,8 +446,7 @@ def ngram_jaccard_top_pairs(spark, sf_dir):
     both sides — numerator and denominator — which is standard stop-feature
     removal; the DuckDB oracle mirrors the identical cap so results stay
     bit-exact.  Ties broken by ids."""
-    d = T(spark, sf_dir, "documents")
-    return _ngram_jaccard_pairs(d, df_cap=NGRAM_DF_CAP)
+    return _ngram_jaccard_pairs(_docs_par(spark, sf_dir), df_cap=NGRAM_DF_CAP)
 
 
 def _ngram_jaccard_pairs(d, df_cap: int = NGRAM_DF_CAP, logger=print):
@@ -528,7 +543,7 @@ def f2_token_offsets(spark, sf_dir):
     char_start <= o < char_end."""
     from nerzo_spark.functions.text import token_offsets
 
-    d = T(spark, sf_dir, "documents")
+    d = _docs_par(spark, sf_dir)
     tok = d.select(
         "doc_id", F.posexplode(token_offsets("text")).alias("pos", "t")
     ).filter(F.col("pos") < 24)

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from nerzo_spark.plans.catalog import T, register
+from nerzo_spark.plans.catalog import T, T_par, register
 
 # explicit double-precision cosine, both dialects (sequential fold)
 _COS_SPARK = (
@@ -20,6 +20,18 @@ _COS_SPARK = (
     " / (sqrt(aggregate(CAST({a} AS ARRAY<DOUBLE>), 0D, (s, x) -> s + x * x))"
     " * sqrt(aggregate(CAST({b} AS ARRAY<DOUBLE>), 0D, (s, x) -> s + x * x)))"
 )
+
+# Factored pieces of the SAME cosine (guide §1.2 per-task work): higher-order
+# array expressions are interpreted (no codegen), so per-PAIR scoring paths
+# precompute each side's norm ONCE per row and divide the dot product by the
+# norm product — the identical scalar op sequence as _COS_SPARK (dot fold,
+# sqrt(sum-of-squares fold) per side, one multiply, one divide), so results
+# are bit-identical while the per-pair work drops from 3 array folds to 1.
+_DOT_SPARK = (
+    "aggregate(zip_with(CAST({a} AS ARRAY<DOUBLE>), CAST({b} AS ARRAY<DOUBLE>),"
+    " (x, y) -> x * y), 0D, (s, x) -> s + x)"
+)
+_NORM_SPARK = "sqrt(aggregate(CAST({v} AS ARRAY<DOUBLE>), 0D, (s, x) -> s + x * x))"
 
 _COS_DUCK = (
     "list_aggregate(list_transform(generate_series(1, len({a})),"
@@ -50,15 +62,27 @@ def j1_cosine_topk(spark, sf_dir):
 
     Declarative variant: broadcast the (tiny) query side, cross-join + cosine
     expression + per-query row_number window.  Catalyst keeps the big side
-    un-shuffled until the single top-k window shuffle on query_id."""
-    e = T(spark, sf_dir, "embeddings")
+    un-shuffled until the single top-k window shuffle on query_id.
+
+    r7: T_par (single-row-group scan skew) + factored-norm cosine (each
+    side's norm computed once per ROW instead of once per PAIR; bit-identical
+    op sequence — see _DOT_SPARK/_NORM_SPARK)."""
+    e = T_par(spark, sf_dir, "embeddings").withColumn(
+        "n_e", F.expr(_NORM_SPARK.format(v="embedding"))
+    )
     q = e.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("n_e").alias("n_q"),
     )
     scored = (
         e.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
-        .withColumn("s", F.expr(_COS_SPARK.format(a="q_emb", b="embedding")))
+        .withColumn(
+            "s",
+            F.expr(_DOT_SPARK.format(a="q_emb", b="embedding"))
+            / (F.col("n_q") * F.col("n_e")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("s"), "vec_id")
     return (
@@ -242,6 +266,34 @@ def _bucket_expr(engine: str, emb: str) -> str:
     return " + ".join(terms)
 
 
+def _plane_weight_py(p: int, j: int) -> float:
+    """Python twin of the md5-derived hyperplane weight in _plane_dot —
+    identical integer arithmetic, so the double is bit-identical."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{p}_{j}".encode()).hexdigest()[:15], 16)
+    return (h % 2001 - 1000) / 1000.0
+
+
+def _bucket_expr_spark_lit(dim: int, emb: str) -> str:
+    """Spark bucket expression with the plane weights PRE-COMPUTED as array
+    literals (guide §1.2 per-task work): the weight depends only on
+    (plane, index), yet the _plane_dot form re-derived it with an md5 + conv
+    per ELEMENT per ROW inside an interpreted fold (dim x 4 md5 calls per
+    row).  The fold below adds the identical x_i * w_i terms in the identical
+    order (zip_with -> sequential aggregate), so every dot — and therefore
+    every bucket id — is bit-identical to _bucket_expr('spark', ...)."""
+    terms = []
+    for p in range(4):
+        lits = ", ".join(repr(_plane_weight_py(p, j)) + "D" for j in range(dim))
+        dot = (
+            f"aggregate(zip_with(CAST({emb} AS ARRAY<DOUBLE>), array({lits}),"
+            f" (x, w) -> x * w), 0D, (s, x) -> s + x)"
+        )
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
+    return " + ".join(terms)
+
+
 @register(
     "ann_lsh_bucketed",
     f"""WITH bucketed AS (
@@ -263,18 +315,30 @@ def ann_lsh_bucketed(spark, sf_dir):
 
     Scale path vs brute force (j1): the candidate join shuffles on the
     bucket key instead of cross-joining the corpus; at 10^12 rows the bucket
-    count grows (more planes) so each bucket stays executor-sized."""
-    e = T(spark, sf_dir, "embeddings").withColumn(
-        "bucket", F.expr(_bucket_expr("spark", "embedding"))
-    )
+    count grows (more planes) so each bucket stays executor-sized.
+
+    r7: T_par (single-row-group scan skew), literal plane weights
+    (_bucket_expr_spark_lit — drops dim x 4 md5/conv calls per row), and
+    factored-norm scoring cosine; all three bit-identical by construction."""
+    dim = T(spark, sf_dir, "embeddings").select(
+        F.size("embedding").alias("d")
+    ).first()["d"]
+    e = T_par(spark, sf_dir, "embeddings").withColumn(
+        "bucket", F.expr(_bucket_expr_spark_lit(dim, "embedding"))
+    ).withColumn("n_e", F.expr(_NORM_SPARK.format(v="embedding")))
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
         F.col("bucket").alias("q_bucket"),
+        F.col("n_e").alias("n_q"),
     )
     scored = (
         e.join(F.broadcast(q), (F.col("bucket") == F.col("q_bucket")) & (F.col("vec_id") != F.col("query_id")))
-        .withColumn("s", F.expr(_COS_SPARK.format(a="q_emb", b="embedding")))
+        .withColumn(
+            "s",
+            F.expr(_DOT_SPARK.format(a="q_emb", b="embedding"))
+            / (F.col("n_q") * F.col("n_e")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("s"), "vec_id")
     return (
