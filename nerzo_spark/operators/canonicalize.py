@@ -237,6 +237,15 @@ def canonical_overrides(
     # ~32 B/row of UnsafeRow + hash-relation overhead.  Oversized tables
     # fall back to a shuffle semi-join (explicit F.broadcast would bypass
     # autoBroadcastJoinThreshold and could blow the driver / 8 GB cap).
+    # r7 (guide §1.2): persist the edge table for the duration of this
+    # builder — the collision-stats job below materializes it, and the
+    # hot-subgraph semi-join re-reads it; without the cache the
+    # normalize/squash regex projection over every distinct surface ran
+    # TWICE.  Surface-scale (2 rows per distinct surface), unpersisted on
+    # every exit path.
+    from pyspark.storagelevel import StorageLevel
+
+    all_edges = all_edges.persist(StorageLevel.MEMORY_AND_DISK)
     collision_stats = (
         all_edges.groupBy("bucket")
         .agg(F.count("*").alias("bn"))
@@ -265,6 +274,7 @@ def canonical_overrides(
     # membership), so the collect is driver-safe by construction.
     if driver_limit > 0 and st["hot_edge_rows"] <= driver_limit:
         rows = hot.collect()
+        all_edges.unpersist()
         mapping = _driver_union_find(
             [(r["fine_type"], r["surface"]) for r in rows],
             keys=[(r["k1"], r["k2"]) for r in rows],
@@ -298,6 +308,7 @@ def canonical_overrides(
     # key-regex projection + collision semi-join each round (the bucket
     # aggregation itself is already checkpointed above and runs once).
     hot_edges = hot_edges.localCheckpoint()
+    all_edges.unpersist()
     hot = hot_edges.select(
         "node_id", "fine_type", "surface", "k1", "k2"
     ).dropDuplicates(["node_id"])

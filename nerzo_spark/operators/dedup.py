@@ -54,11 +54,18 @@ def minhash_lsh_pairs(
     """
     sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sig = minhash_signatures(sh)
-    bands = (
-        sig.select("doc_id", F.md5(F.concat("mh0", "mh1")).alias("band"))
-        .unionByName(sig.select("doc_id", F.md5(F.concat("mh2", "mh3")).alias("band")))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # ONE band row-set via explode (r7, guide §1.2): the previous
+    # union-of-two-selects evaluated the signature aggregation (groupBy with
+    # 4 md5-min aggs over every shingle) once PER BRANCH; explode emits the
+    # identical (doc_id, band) multiset from a single aggregation pass.
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.md5(F.concat("mh0", "mh1")), F.md5(F.concat("mh2", "mh3"))
+            )
+        ).alias("band"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     band_sizes = bands.groupBy("band").agg(F.count("*").alias("bcnt"))
     dropped = band_sizes.filter(F.col("bcnt") > band_cap)
@@ -106,4 +113,115 @@ def minhash_lsh_pairs(
     out = out.localCheckpoint(eager=True)
     bands.unpersist()
     sh.unpersist()
+    return out
+
+
+def minhash_lsh_pairs_rowform(
+    doc_sh: DataFrame,
+    explode_shingles=None,
+    threshold: float = 0.5,
+    band_cap: int = DEFAULT_BAND_CAP,
+    logger=print,
+) -> DataFrame:
+    """Row-form twin of :func:`minhash_lsh_pairs` (r7, guide §2.3/§2.4):
+    same pairs, same jaccard values, fraction of the shuffled bytes.
+
+    ``doc_sh``: (doc_id, sh ARRAY<STRING>) — ONE row per doc carrying its
+    DISTINCT shingle array.  Signatures and set sizes become per-row array
+    expressions (``array_min(transform(...))`` == groupBy-min over the
+    exploded table, ``size(sh)`` == exploded count), so the shingle table is
+    never exploded corpus-wide, never persisted, and never shuffled; only
+    CANDIDATE docs (pairs sharing a band, post skew-guard) are exploded for
+    the exact-Jaccard verify — candidate-scale, not corpus-scale.  Band
+    derivation, the band_cap skew guard (+ no-silent-caps logging) and the
+    rounded-jaccard threshold are expression-identical to the exploded
+    form, so outputs match bit-for-bit (asserted against the frozen DuckDB
+    oracle at sf0.01/sf0.1 and by tests/test_dedup_units.py).
+
+    ``explode_shingles``: optional callable ``(cand_ids_df) -> (doc_id, s)``
+    producing the exploded distinct shingles of the candidate docs only.
+    Callers SHOULD supply one whose explode sits directly over the source
+    projection (see catalog_text._explode_shingles): exploding the aliased
+    ``sh`` column lets CollapseProject inline the array-building expression
+    into the Generate and re-evaluate it per element (measured 54 s vs
+    1.6 s at sf1.0).  Default: explode ``doc_sh.sh`` (acceptable when the
+    array is a stored column, pathological when it is an expression)."""
+    base = doc_sh.select(
+        "doc_id",
+        F.size("sh").alias("n"),
+        *[
+            F.expr(
+                f"array_min(transform(sh, s -> md5(concat('{j}|', s))))"
+            ).alias(f"mh{j}")
+            for j in range(4)
+        ],
+    )
+    bands = base.select(
+        "doc_id",
+        "n",
+        F.explode(
+            F.array(
+                F.md5(F.concat("mh0", "mh1")), F.md5(F.concat("mh2", "mh3"))
+            )
+        ).alias("band"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    band_sizes = bands.groupBy("band").agg(F.count("*").alias("bcnt"))
+    dropped = band_sizes.filter(F.col("bcnt") > band_cap)
+    n_dropped = dropped.count()
+    if n_dropped > 0 and logger is not None:
+        worst = dropped.agg(F.max("bcnt")).first()[0]
+        logger(
+            f"[minhash_lsh_pairs] skew guard: dropped {n_dropped} band(s) with "
+            f"> {band_cap} docs (largest: {worst}); members are near-exact "
+            f"dups — covered by exact dedup (dedup_exact_groups)"
+        )
+
+    kept = bands.join(
+        band_sizes.filter(F.col("bcnt") <= band_cap).select("band"), "band"
+    )
+    cand = (
+        kept.alias("a")
+        .join(
+            kept.alias("b"),
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("a.n").alias("na"),
+            F.col("b.doc_id").alias("id_b"), F.col("b.n").alias("nb"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # candidate-scale; read 3x below
+    )
+    cand_ids = (
+        cand.select(F.col("id_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    if explode_shingles is not None:
+        cand_sh = explode_shingles(cand_ids)
+    else:
+        cand_sh = doc_sh.join(F.broadcast(cand_ids), "doc_id", "left_semi").select(
+            "doc_id", F.explode("sh").alias("s")
+        )
+    # candidate-scale; read twice by the intersection self-join below
+    cand_sh = cand_sh.persist(StorageLevel.MEMORY_AND_DISK)
+    inter = (
+        cand.join(cand_sh.alias("x"), F.col("x.doc_id") == F.col("id_a"))
+        .join(
+            cand_sh.alias("y"),
+            (F.col("y.doc_id") == F.col("id_b")) & (F.col("y.s") == F.col("x.s")),
+        )
+        .groupBy("id_a", "id_b", "na", "nb")
+        .agg(F.count("*").alias("i"))
+    )
+    jac = F.col("i") * 1.0 / (F.col("na") + F.col("nb") - F.col("i"))
+    out = (
+        inter.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    out = out.localCheckpoint(eager=True)
+    bands.unpersist()
+    cand_sh.unpersist()
     return out

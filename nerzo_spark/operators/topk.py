@@ -57,6 +57,61 @@ def topk_desc_stable(scores: np.ndarray, kk: int) -> np.ndarray:
     return top
 
 
+def blockwise_topk(
+    v: np.ndarray,
+    mat: np.ndarray,
+    kk: int,
+    self_pos: dict[int, int] | None = None,
+    block: int = 4096,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Top-kk of ``v @ mat.T`` per row by (score desc, column-index asc),
+    WITHOUT materializing the full (n, m) score matrix.
+
+    Equivalent to masking ``self_pos`` (query-row -> column) to -inf in the
+    full matrix and running :func:`topk_desc_stable` — asserted by fuzz tests
+    (tests/test_topk_internals.py).  Why blockwise (guide §1.2): the full
+    matrix plus the selection's extra passes made the kNN stage memory-
+    bandwidth-bound (sum-of-task CPU ~160 s for a 20k x 20k chunk while the
+    GEMM itself needs ~35 s); column blocks keep each score slab cache-hot
+    through selection.  Correctness of the merge: (score, index) is a strict
+    total order, so the global top-kk is contained in the union of per-block
+    top-min(kk, b); each block's selection breaks ties by local position ==
+    global index order (blocks are contiguous slices).
+
+    Returns (indices, scores), each (n, min(kk, m))."""
+    n, m = v.shape[0], mat.shape[0]
+    kk = min(kk, m)
+    rows = np.arange(n)[:, None]
+    best_s: np.ndarray | None = None
+    best_i: np.ndarray | None = None
+    for j0 in range(0, m, block):
+        sj = v @ mat[j0 : j0 + block].T
+        if self_pos:
+            width = sj.shape[1]
+            for r, j in self_pos.items():
+                if j0 <= j < j0 + width:
+                    sj[r, j - j0] = -np.inf
+        kb = min(kk, sj.shape[1])
+        bi = topk_desc_stable(sj, kb)
+        bs = sj[rows, bi]
+        gi = bi + j0
+        if best_s is None:
+            best_s, best_i = bs, gi
+            continue
+        cs = np.concatenate([best_s, bs], axis=1)
+        ci = np.concatenate([best_i, gi], axis=1)
+        # order candidates index-ascending so the stable score sort breaks
+        # ties by global index, exactly like the full-matrix selection
+        ordi = np.argsort(ci, axis=1, kind="stable")
+        cs = np.take_along_axis(cs, ordi, axis=1)
+        ci = np.take_along_axis(ci, ordi, axis=1)
+        sel = np.argsort(-cs, axis=1, kind="stable")[:, :kk]
+        best_s = np.take_along_axis(cs, sel, axis=1)
+        best_i = np.take_along_axis(ci, sel, axis=1)
+    assert best_i is not None
+    return best_i, best_s
+
+
 def link_topk(
     mentions: DataFrame,
     catalog: list[dict],
@@ -177,16 +232,15 @@ def knn_self_join(
                     continue
                 v = np.stack(pdf[emb_col].to_numpy()).astype(np.float64)
                 v = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
-                scores = v @ mat.T
                 # self-exclusion (P10): the query row may live in this chunk
-                for r, qid in enumerate(pdf[id_col]):
-                    j = id_set.get(int(qid))
-                    if j is not None:
-                        scores[r, j] = -np.inf
-                kk = min(kk_cap, scores.shape[1])
-                top = topk_desc_stable(scores, kk)
+                self_pos = {
+                    r: id_set[int(qid)]
+                    for r, qid in enumerate(pdf[id_col])
+                    if int(qid) in id_set
+                }
+                kk = min(kk_cap, mat.shape[0])
+                top, sel = blockwise_topk(v, mat, kk, self_pos=self_pos)
                 nrow = len(pdf)
-                sel = scores[np.arange(nrow)[:, None], top]
                 keep = np.isfinite(sel).ravel()
                 data = {
                     "query_id": pdf[id_col].to_numpy().repeat(kk)[keep],

@@ -283,24 +283,47 @@ def _mh_duck(j: int) -> str:
     return f"list_aggregate(list_transform({_SHINGLE_DUCK}, s -> md5('{j}|' || s)), 'min')"
 
 
-def _shingles_exploded(spark, sf_dir):
-    """(doc_id, s) distinct word-3-gram shingles — the shared base table for
-    the whole minhash family.  min over distinct == min over all, so one
-    distinct explode feeds signatures, bands and Jaccard verification.
+def _doc_shingle_arrays(spark, sf_dir):
+    """(doc_id, sh ARRAY<STRING>) — one row per doc with its DISTINCT
+    word-3-gram shingles (r7 row form; guide §2.3: ship arrays, not an
+    exploded corpus-scale table, when downstream work is per-doc).
 
     The token array is materialized ONCE per row in its own Project —
     inlining `split(text)` into the transform lambda re-evaluated it per
     shingle index (O(tokens^2) per doc; measured ~3x the stage time)."""
     d = _docs_par(spark, sf_dir)
-    shingle_from_toks = (
-        "transform(sequence(1, greatest(size(toks) - 2, 1)),"
-        " i -> concat_ws(' ', element_at(toks, i),"
-        " try_element_at(toks, i + 1), try_element_at(toks, i + 2)))"
+    return d.select("doc_id", F.split(F.col("text"), _TOK).alias("toks")).select(
+        "doc_id", F.array_distinct(F.expr(_SHINGLE_FROM_TOKS)).alias("sh")
     )
-    return (
-        d.select("doc_id", F.split(F.col("text"), r"\s+").alias("toks"))
-        .select("doc_id", F.explode(F.array_distinct(F.expr(shingle_from_toks))).alias("s"))
+
+
+_SHINGLE_FROM_TOKS = (
+    "transform(sequence(1, greatest(size(toks) - 2, 1)),"
+    " i -> concat_ws(' ', element_at(toks, i),"
+    " try_element_at(toks, i + 1), try_element_at(toks, i + 2)))"
+)
+
+
+def _explode_shingles(d):
+    """(doc table) -> (doc_id, s) exploded distinct shingles.
+
+    PLAN-SHAPE CRITICAL (r7 regression found by measurement): the explode
+    must sit DIRECTLY over the two-step token projection.  Routing it over
+    an aliased `sh` array column lets CollapseProject inline the whole
+    shingle expression — including `split(text)` — into the Generate, where
+    `toks` is re-evaluated per shingle index: measured 54 s vs 1.6 s for
+    the identical result at sf1.0.  `toks` survives as its own Project here
+    because the shingle transform references it multiple times."""
+    return d.select("doc_id", F.split(F.col("text"), _TOK).alias("toks")).select(
+        "doc_id", F.explode(F.array_distinct(F.expr(_SHINGLE_FROM_TOKS))).alias("s")
     )
+
+
+def _shingles_exploded(spark, sf_dir):
+    """(doc_id, s) distinct word-3-gram shingles — exploded form (min over
+    distinct == min over all, so one table can feed signatures, bands and
+    Jaccard verification)."""
+    return _explode_shingles(_docs_par(spark, sf_dir))
 
 
 def _signatures(sh):
@@ -360,11 +383,24 @@ def dedup_minhash_lsh_pairs(spark, sf_dir):
     equi-join (shuffle on band key), never an all-pairs product; the verify
     join touches candidate docs only; bands larger than 64 docs are
     excluded (quadratic skew guard, operators/dedup.py — the oracle mirrors
-    the same cap)."""
-    from nerzo_spark.operators.dedup import minhash_lsh_pairs
+    the same cap).
 
-    return minhash_lsh_pairs(
-        _shingles_exploded(spark, sf_dir), threshold=0.5, band_cap=64
+    r7: row-form builder (operators/dedup.py minhash_lsh_pairs_rowform) —
+    signatures/sizes as per-row array expressions, shingles exploded only
+    for candidate docs; identical output (oracle-verified), no corpus-scale
+    explode/persist/shuffle."""
+    from nerzo_spark.operators.dedup import minhash_lsh_pairs_rowform
+
+    d = _docs_par(spark, sf_dir)
+
+    def _cand_exploder(ids_df):
+        return _explode_shingles(d.join(F.broadcast(ids_df), "doc_id", "left_semi"))
+
+    return minhash_lsh_pairs_rowform(
+        _doc_shingle_arrays(spark, sf_dir),
+        explode_shingles=_cand_exploder,
+        threshold=0.5,
+        band_cap=64,
     )
 
 

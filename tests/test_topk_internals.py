@@ -7,11 +7,34 @@ from __future__ import annotations
 
 import numpy as np
 
-from nerzo_spark.operators.topk import topk_desc_stable
+from nerzo_spark.operators.topk import blockwise_topk, topk_desc_stable
 
 
 def _ref(scores: np.ndarray, kk: int) -> np.ndarray:
     return np.argsort(-scores, axis=1, kind="stable")[:, :kk]
+
+
+def test_blockwise_matches_full_matrix():
+    """blockwise_topk == self-masked full-matrix topk_desc_stable, across
+    block sizes that do / don't divide m, with ties and self-masking."""
+    rng = np.random.default_rng(21)
+    for trial in range(120):
+        n = int(rng.integers(1, 20))
+        m = int(rng.integers(2, 300))
+        d = int(rng.integers(2, 16))
+        kk = int(rng.integers(1, m + 1))
+        block = int(rng.integers(1, m + 40))
+        v = rng.integers(-2, 3, size=(n, d)).astype(float)  # tie-heavy dots
+        mat = rng.integers(-2, 3, size=(m, d)).astype(float)
+        self_pos = {r: int(rng.integers(0, m)) for r in range(n) if rng.random() < 0.5}
+        scores = v @ mat.T
+        for r, j in self_pos.items():
+            scores[r, j] = -np.inf
+        ref_i = _ref(scores, kk)
+        ref_s = scores[np.arange(n)[:, None], ref_i]
+        got_i, got_s = blockwise_topk(v, mat, kk, self_pos=self_pos, block=block)
+        assert np.array_equal(ref_i, got_i), (trial, n, m, kk, block)
+        assert np.array_equal(ref_s, got_s), (trial, n, m, kk, block)
 
 
 def test_tie_heavy_exact():
