@@ -28,6 +28,7 @@ batch = Arrow batch), exactly like the reference's batched forward
 from __future__ import annotations
 
 import hashlib
+import math
 
 import numpy as np
 import pandas as pd
@@ -134,7 +135,10 @@ def _accumulate(feats: list[tuple[str, float]]) -> np.ndarray:
         idxs[j] = idx
         ws[j] = sign * w
     v = np.bincount(idxs, weights=ws, minlength=DIM)
-    n = np.linalg.norm(v)
+    # math.sqrt(v.dot(v)) == np.linalg.norm(v) bit-for-bit for 1-D float64
+    # (norm computes sqrt(dot) internally) at a fraction of the wrapper
+    # overhead — this path runs per distinct feature vector (r7, guide §1.2)
+    n = math.sqrt(v.dot(v))
     return (v / n if n > 0 else v).astype(np.float32)
 
 
@@ -189,7 +193,9 @@ def _pair_vec(left16: str, surface: str, right3: str) -> np.ndarray:
     start = _start_vec(left16)
     end = _end_vec(surface, right3)
     pair = np.concatenate([start, end])
-    n = np.linalg.norm(pair)
+    # np.sqrt(pair.dot(pair)) == np.linalg.norm(pair) bit-for-bit (float32
+    # scalar either way); skips the norm wrapper per cached pair (r7)
+    n = np.sqrt(pair.dot(pair))
     return _frozen((pair / n if n > 0 else pair).astype(np.float32))
 
 

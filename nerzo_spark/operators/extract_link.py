@@ -99,7 +99,10 @@ def extract_and_link(
                     vecs.append(embed_span(surf, left, right)[2])
 
             if vecs:
-                v = np.stack(vecs).astype(np.float64)
+                # asarray(list-of-f32, f64) == stack(...).astype(f64)
+                # bit-for-bit (f32->f64 widening is exact) without the
+                # intermediate f32 matrix + second copy (r7, guide §1.2)
+                v = np.asarray(vecs, dtype=np.float64)
                 v /= np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-12)
                 scores = v @ mat.T  # ONE GEMM per Arrow batch
                 best = np.argmax(scores, axis=1)  # ties -> lowest label_id idx

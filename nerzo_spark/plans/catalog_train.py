@@ -206,7 +206,8 @@ def u8_losses_over_j3(spark: SparkSession, sf_dir: str) -> DataFrame:
         hard_negative_ratio=hard_ratio,
     )
     # embed each distinct doc once; the batch table is dimension-sized
-    # (<= n_batches * (1 + 3*batch_size) rows) so every join below broadcasts
+    # (<= n_batches * (1 + 2*batch_size) rows: anchor + batch_size positives
+    # + batch_size total negatives, ADVICE r6) so every join below broadcasts
     docs = (
         b.select("doc_id").distinct()
         .join(d.select("doc_id", "text"), "doc_id")
