@@ -1,8 +1,9 @@
-"""Isolate e1_recall_at_k at a given SF dir under bench-identical conf.
+"""Time any declared catalog queries at a given SF dir under
+bench-identical conf (named after its first target, e1_recall_at_k).
 
 Usage: python jobs/profile_e1.py [sf_dir] [query ...]
 Times each named query (default e1_recall_at_k) with .count() exactly as
-bench.py does, printing per-phase wall times.
+bench.py does, printing wall seconds + the window's loadavg per query.
 """
 import os
 import sys

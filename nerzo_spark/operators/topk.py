@@ -224,6 +224,11 @@ def knn_self_join(
     sc = vectors.sparkSession.sparkContext
 
     def _scorer(bc, kk_cap):
+        # rows scored per blockwise_topk call: bounds the transient score
+        # slab at ROWS x block x 8 B (~134 MB) even when an Arrow batch
+        # carries 65k rows (rows are independent, so slicing is free)
+        ROWS = 4096
+
         def _knn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             ids, mat, labels = bc.value
             id_set = {int(i): j for j, i in enumerate(ids)}
@@ -239,19 +244,26 @@ def knn_self_join(
                     if int(qid) in id_set
                 }
                 kk = min(kk_cap, mat.shape[0])
-                top, sel = blockwise_topk(v, mat, kk, self_pos=self_pos)
-                nrow = len(pdf)
-                keep = np.isfinite(sel).ravel()
-                data = {
-                    "query_id": pdf[id_col].to_numpy().repeat(kk)[keep],
-                    "neighbor_id": ids[top].ravel()[keep],
-                    "score": sel.ravel()[keep],
-                    "rank": np.tile(np.arange(1, kk + 1), nrow).astype("int32")[keep],
-                }
-                if labels is not None:
-                    data["query_label"] = pdf[label_col].to_numpy().repeat(kk)[keep]
-                    data["neighbor_label"] = labels[top].ravel()[keep]
-                yield pd.DataFrame(data)
+                qid_all = pdf[id_col].to_numpy()
+                lab_all = pdf[label_col].to_numpy() if labels is not None else None
+                for r0 in range(0, len(pdf), ROWS):
+                    r1 = min(r0 + ROWS, len(pdf))
+                    sub_self = {
+                        r - r0: j for r, j in self_pos.items() if r0 <= r < r1
+                    }
+                    top, sel = blockwise_topk(v[r0:r1], mat, kk, self_pos=sub_self)
+                    nrow = r1 - r0
+                    keep = np.isfinite(sel).ravel()
+                    data = {
+                        "query_id": qid_all[r0:r1].repeat(kk)[keep],
+                        "neighbor_id": ids[top].ravel()[keep],
+                        "score": sel.ravel()[keep],
+                        "rank": np.tile(np.arange(1, kk + 1), nrow).astype("int32")[keep],
+                    }
+                    if labels is not None:
+                        data["query_label"] = lab_all[r0:r1].repeat(kk)[keep]
+                        data["neighbor_label"] = labels[top].ravel()[keep]
+                    yield pd.DataFrame(data)
 
         return _knn
 
