@@ -35,6 +35,64 @@ def minhash_signatures(sh: DataFrame, n_hashes: int = 4) -> DataFrame:
     )
 
 
+def _bands_of(sig: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+    """(doc_id[, carry...], band) — TWO band rows per doc from one pass over
+    the signature table (r7, guide §1.2: the previous union-of-two-selects
+    evaluated the signature aggregation once per branch; explode emits the
+    identical multiset from a single pass)."""
+    return sig.select(
+        "doc_id",
+        *carry,
+        F.explode(
+            F.array(
+                F.md5(F.concat("mh0", "mh1")), F.md5(F.concat("mh2", "mh3"))
+            )
+        ).alias("band"),
+    )
+
+
+def _band_candidates(
+    bands: DataFrame,
+    band_cap: int,
+    logger,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """Distinct candidate pairs (id_a[, <c>a...], id_b[, <c>b...]) from
+    bands with <= band_cap members — the skew guard + no-silent-caps log
+    shared by both minhash builders (a degenerate band of M near-identical
+    docs would otherwise emit M(M-1)/2 rows of real output volume that no
+    AQE split can fix; dropped members are near-exact dups covered by
+    dedup_exact_groups)."""
+    band_sizes = bands.groupBy("band").agg(F.count("*").alias("bcnt"))
+    dropped = band_sizes.filter(F.col("bcnt") > band_cap)
+    n_dropped = dropped.count()  # band-scale action; the no-silent-caps log
+    if n_dropped > 0 and logger is not None:
+        worst = dropped.agg(F.max("bcnt")).first()[0]
+        logger(
+            f"[minhash_lsh_pairs] skew guard: dropped {n_dropped} band(s) with "
+            f"> {band_cap} docs (largest: {worst}); members are near-exact "
+            f"dups — covered by exact dedup (dedup_exact_groups)"
+        )
+    kept = bands.join(
+        band_sizes.filter(F.col("bcnt") <= band_cap).select("band"), "band"
+    )
+    sel = (
+        [F.col("a.doc_id").alias("id_a")]
+        + [F.col(f"a.{c}").alias(f"{c}a") for c in carry]
+        + [F.col("b.doc_id").alias("id_b")]
+        + [F.col(f"b.{c}").alias(f"{c}b") for c in carry]
+    )
+    return (
+        kept.alias("a")
+        .join(
+            kept.alias("b"),
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(*sel)
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(
     sh: DataFrame,
     threshold: float = 0.5,
@@ -54,42 +112,8 @@ def minhash_lsh_pairs(
     """
     sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sig = minhash_signatures(sh)
-    # ONE band row-set via explode (r7, guide §1.2): the previous
-    # union-of-two-selects evaluated the signature aggregation (groupBy with
-    # 4 md5-min aggs over every shingle) once PER BRANCH; explode emits the
-    # identical (doc_id, band) multiset from a single aggregation pass.
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                F.md5(F.concat("mh0", "mh1")), F.md5(F.concat("mh2", "mh3"))
-            )
-        ).alias("band"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-
-    band_sizes = bands.groupBy("band").agg(F.count("*").alias("bcnt"))
-    dropped = band_sizes.filter(F.col("bcnt") > band_cap)
-    n_dropped = dropped.count()  # band-scale action; the no-silent-caps log
-    if n_dropped > 0 and logger is not None:
-        worst = dropped.agg(F.max("bcnt")).first()[0]
-        logger(
-            f"[minhash_lsh_pairs] skew guard: dropped {n_dropped} band(s) with "
-            f"> {band_cap} docs (largest: {worst}); members are near-exact "
-            f"dups — covered by exact dedup (dedup_exact_groups)"
-        )
-
-    kept = bands.join(
-        band_sizes.filter(F.col("bcnt") <= band_cap).select("band"), "band"
-    )
-    cand = (
-        kept.alias("a")
-        .join(
-            kept.alias("b"),
-            (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
-    )
+    bands = _bands_of(sig).persist(StorageLevel.MEMORY_AND_DISK)
+    cand = _band_candidates(bands, band_cap, logger)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     inter = (
         cand.join(sh.alias("x"), F.col("x.doc_id") == F.col("id_a"))
@@ -156,42 +180,12 @@ def minhash_lsh_pairs_rowform(
             for j in range(4)
         ],
     )
-    bands = base.select(
-        "doc_id",
-        "n",
-        F.explode(
-            F.array(
-                F.md5(F.concat("mh0", "mh1")), F.md5(F.concat("mh2", "mh3"))
-            )
-        ).alias("band"),
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-
-    band_sizes = bands.groupBy("band").agg(F.count("*").alias("bcnt"))
-    dropped = band_sizes.filter(F.col("bcnt") > band_cap)
-    n_dropped = dropped.count()
-    if n_dropped > 0 and logger is not None:
-        worst = dropped.agg(F.max("bcnt")).first()[0]
-        logger(
-            f"[minhash_lsh_pairs] skew guard: dropped {n_dropped} band(s) with "
-            f"> {band_cap} docs (largest: {worst}); members are near-exact "
-            f"dups — covered by exact dedup (dedup_exact_groups)"
-        )
-
-    kept = bands.join(
-        band_sizes.filter(F.col("bcnt") <= band_cap).select("band"), "band"
-    )
-    cand = (
-        kept.alias("a")
-        .join(
-            kept.alias("b"),
-            (F.col("a.band") == F.col("b.band")) & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"), F.col("a.n").alias("na"),
-            F.col("b.doc_id").alias("id_b"), F.col("b.n").alias("nb"),
-        )
-        .distinct()
-        .localCheckpoint(eager=True)  # candidate-scale; read 3x below
+    bands = _bands_of(base, carry=("n",)).persist(StorageLevel.MEMORY_AND_DISK)
+    # candidate-scale, read 3x below (two cand_ids selects + the inter
+    # join); persist instead of localCheckpoint so it is RELEASED at the
+    # end — the final eager checkpoint of `out` makes re-execution moot
+    cand = _band_candidates(bands, band_cap, logger, carry=("n",)).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
     cand_ids = (
         cand.select(F.col("id_a").alias("doc_id"))
@@ -223,5 +217,6 @@ def minhash_lsh_pairs_rowform(
     )
     out = out.localCheckpoint(eager=True)
     bands.unpersist()
+    cand.unpersist()
     cand_sh.unpersist()
     return out

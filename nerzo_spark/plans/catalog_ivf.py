@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from nerzo_spark.functions.hashing import md5_i64_duckdb, md5_i64_sql
 from nerzo_spark.plans.catalog import T, T_par, register
-from nerzo_spark.plans.catalog_vec import _COS_DUCK, _COS_SPARK, _DOT_SPARK, _NORM_SPARK
+from nerzo_spark.plans.catalog_vec import _COS_DUCK, _DOT_SPARK, _NORM_SPARK
 
 N_CENTROIDS = 8
 NPROBE = 2

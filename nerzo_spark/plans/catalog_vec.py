@@ -319,12 +319,20 @@ def ann_lsh_bucketed(spark, sf_dir):
 
     r7: T_par (single-row-group scan skew), literal plane weights
     (_bucket_expr_spark_lit — drops dim x 4 md5/conv calls per row), and
-    factored-norm scoring cosine; all three bit-identical by construction."""
-    dim = T(spark, sf_dir, "embeddings").select(
+    factored-norm scoring cosine; all three bit-identical by construction.
+    The dim probe assumes a uniform embedding dim (the same contract
+    u5_u6_mlp_heads already relies on); an empty table falls back to the
+    per-row md5 expression so the builder stays total."""
+    first = T(spark, sf_dir, "embeddings").select(
         F.size("embedding").alias("d")
-    ).first()["d"]
+    ).first()
+    bucket_sql = (
+        _bucket_expr_spark_lit(first["d"], "embedding")
+        if first is not None
+        else _bucket_expr("spark", "embedding")
+    )
     e = T_par(spark, sf_dir, "embeddings").withColumn(
-        "bucket", F.expr(_bucket_expr_spark_lit(dim, "embedding"))
+        "bucket", F.expr(bucket_sql)
     ).withColumn("n_e", F.expr(_NORM_SPARK.format(v="embedding")))
     q = e.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("query_id"),

@@ -66,14 +66,16 @@ def test_ivf_assignment_no_exchange_before_probe_join(spark):
 
     df = catalog.queries()["ann_ivf_probe"](spark, SF)
     plan = plan_of(df)
-    tree = plan.split("(1) Scan")[0]
-    # allowed: 1 broadcast exchange (probes->cells join) + 1 shuffle for the
-    # final per-query top-k window; nothing KEYED before assignment.  The r7
-    # T_par round-robin repartition (single-row-group input-skew repair,
-    # guide §2.5) is not a keyed shuffle and is explicitly allowed.
-    full_plan = plan_of(df)
-    keyed = full_plan.count("Exchange hashpartitioning")
-    assert keyed <= 2, plan[:2000]
+    # Exactly ONE keyed shuffle is legal: the final per-query top-k window.
+    # The probes->cells join must stay broadcast and assignment must stay
+    # map-side (the round-1 crossJoin + per-vec row_number added a second
+    # hashpartitioning and must fail here).  The r7 T_par round-robin
+    # repartition (input-skew repair, guide §2.5) is not keyed and is
+    # allowed.  Formatted explain prints each keyed Exchange's
+    # "hashpartitioning(...)" on its Arguments line — count those (the
+    # contiguous string "Exchange hashpartitioning" NEVER occurs in
+    # formatted output; asserting on it would be vacuous).
+    assert plan.count("hashpartitioning") <= 1, plan[:2000]
 
 
 def test_f2_token_offsets_shuffle_free(spark):
@@ -81,11 +83,13 @@ def test_f2_token_offsets_shuffle_free(spark):
     repartition] -> Project -> Explode — no KEYED shuffle.  The r7 T_par
     round-robin exchange (single-row-group scan repair, guide §2.5) is
     allowed; a hashpartitioning exchange would mean the fold itself started
-    shuffling and must fail."""
+    shuffling and must fail.  Matched via the bare "hashpartitioning"
+    Arguments token — formatted explain never prints the contiguous string
+    "Exchange hashpartitioning", so matching that would be vacuous."""
     import nerzo_spark.plans.catalog_text as ct
 
     df = catalog.queries()["f2_token_offsets"](spark, SF)
-    assert "Exchange hashpartitioning" not in plan_of(df)
+    assert "hashpartitioning" not in plan_of(df)
 
 
 def test_u5_projection_no_shuffle_beyond_join(spark):

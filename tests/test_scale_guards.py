@@ -58,6 +58,58 @@ def test_lsh_guard_noop_below_cap(spark):
     assert not logs  # sf0.001 has no 64-doc band
 
 
+def _doc_sh(df):
+    from nerzo_spark.plans.catalog_text import _SHINGLE_SPARK
+
+    return df.select(
+        "doc_id", F.array_distinct(F.expr(_SHINGLE_SPARK)).alias("sh")
+    )
+
+
+def test_minhash_rowform_equals_exploded_form(spark):
+    """r7: minhash_lsh_pairs_rowform must emit the EXACT pair set + jaccard
+    values of the exploded-form builder — including under an active band_cap
+    drop, via BOTH the default explode path and a caller-supplied
+    explode_shingles callback."""
+    from nerzo_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_rowform,
+    )
+
+    base = "the quick value of a stream is computed from rows and batches near"
+    rows = [(i, base) for i in range(80)]  # shared band, above cap=8
+    rows += [(1000, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+             (1001, "alpha beta gamma delta epsilon zeta eta theta iota kappa x"),
+             (1002, "one two three four five six seven eight nine ten eleven"),
+             (1003, "one two three four five six seven eight nine ten twelve")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    logs_a, logs_b, logs_c = [], [], []
+    ref = sorted(
+        tuple(r) for r in minhash_lsh_pairs(
+            _shingles(docs), threshold=0.5, band_cap=8, logger=logs_a.append
+        ).collect()
+    )
+    got_default = sorted(
+        tuple(r) for r in minhash_lsh_pairs_rowform(
+            _doc_sh(docs), threshold=0.5, band_cap=8, logger=logs_b.append
+        ).collect()
+    )
+
+    def _exploder(ids_df):
+        return _shingles(docs.join(F.broadcast(ids_df), "doc_id", "left_semi"))
+
+    got_cb = sorted(
+        tuple(r) for r in minhash_lsh_pairs_rowform(
+            _doc_sh(docs), explode_shingles=_exploder,
+            threshold=0.5, band_cap=8, logger=logs_c.append,
+        ).collect()
+    )
+    assert ref == got_default == got_cb
+    assert ref  # non-degenerate: the small near-dup pairs survive
+    # the skew-guard log fires identically on all three paths
+    assert logs_a and logs_b and logs_c
+
+
 # --- blocked kNN --------------------------------------------------------------
 
 def test_knn_blocked_equals_single_chunk(spark):
